@@ -1,0 +1,103 @@
+"""Pallas kernel conformance vs the jnp oracle (interpret mode on CPU).
+
+The TPU analog of the reference's backend conformance suite
+(src/backend/conformance.zig): identical inputs through the reference executor
+(zgml_tpu.ops.refs) and the kernel, compared within tolerance.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.ops import refs
+from zgml_tpu.ops.qmatmul import qmatmul_pallas
+from zgml_tpu.ops.rmsnorm import rmsnorm_pallas
+from zgml_tpu.ops.attention import flash_attention_pallas, decode_attention_pallas
+from zgml_tpu.quant.repack import quantize_weight, dequant_packed
+
+
+def _to_jax(pw):
+    import dataclasses
+    return dataclasses.replace(pw, qvals=jnp.asarray(pw.qvals),
+                               scales=jnp.asarray(pw.scales))
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+@pytest.mark.parametrize("m,n,k", [(1, 256, 256), (8, 512, 1024), (5, 300, 576)])
+def test_qmatmul_matches_oracle(kind, m, n, k):
+    rng = np.random.default_rng(hash((kind, m, n, k)) % 2**32)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    pw = _to_jax(quantize_weight(w, kind))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), pw))
+    want = x @ dequant_packed(
+        quantize_weight(w, kind)).T  # exact dequantized weights
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-2 * np.sqrt(k))
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+def test_qmatmul_matches_jnp_ref(kind):
+    rng = np.random.default_rng(7)
+    n, k, m = 384, 512, 4
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    pw = _to_jax(quantize_weight(w, kind))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), pw))
+    want = np.asarray(refs.qmatmul_ref(jnp.asarray(x), pw.qvals, pw.scales, kind))
+    np.testing.assert_allclose(got, want[:, :n], rtol=1e-2, atol=5e-2 * np.sqrt(k))
+
+
+@pytest.mark.parametrize("shape", [(4, 576), (2, 3, 64), (16, 2048)])
+def test_rmsnorm_matches_oracle(shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(shape[-1]).astype(np.float32))
+    got = rmsnorm_pallas(x, g, 1e-5)
+    want = refs.rmsnorm_ref(x, g, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+def test_flash_attention_full_causal(hq, hkv):
+    rng = np.random.default_rng(1)
+    b, tq, s, d = 2, 64, 64, 64
+    q = jnp.asarray(rng.standard_normal((b, hq, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    got = flash_attention_pallas(q, k, v, kv_len=s, q_offset=0)
+    mask = refs.causal_mask(tq, s)
+    want = refs.gqa_attention_ref(q, k, v, mask[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_chunked_prefill_offset():
+    """Chunk 2 of a prefill: cache holds 32 old + 32 new keys; queries offset 32."""
+    rng = np.random.default_rng(2)
+    b, hq, hkv, tq, s, d = 1, 4, 2, 32, 128, 64
+    kv_len, q_off = 64, 32
+    q = jnp.asarray(rng.standard_normal((b, hq, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    got = flash_attention_pallas(q, k, v, kv_len=kv_len, q_offset=q_off)
+    ki = np.arange(s)[None, :]
+    qi = np.arange(tq)[:, None] + q_off
+    mask = jnp.asarray((ki < kv_len) & (ki <= qi))
+    want = refs.gqa_attention_ref(q, k, v, mask[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("hq,hkv,kv_len", [(4, 4, 17), (8, 2, 100), (9, 3, 1)])
+def test_decode_attention_matches_oracle(hq, hkv, kv_len):
+    rng = np.random.default_rng(3)
+    b, s, d = 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, hq, 1, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    got = decode_attention_pallas(q, k, v, kv_len)
+    valid = (np.arange(s) < kv_len)[None, None, None, :]
+    want = refs.gqa_attention_ref(q, k, v, jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

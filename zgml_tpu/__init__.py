@@ -1,0 +1,28 @@
+"""zgml_tpu — a TPU-native quantized ML framework (capability target: candrewlee14/zgml).
+
+Built from scratch on JAX/XLA/Pallas/pjit. The reference (zgml) is a single-host
+Zig/CPU/Metal framework; this package re-designs its capability set TPU-first:
+
+- ``zgml_tpu.quant``   — ggml-style block quantization (Q4_0/Q8_0) codecs, TPU repack,
+                         quantized KV cache. (ref: src/quant.zig, src/models/gguf_loader.zig)
+- ``zgml_tpu.io``      — GGUF parse/write, safetensors, checkpoints, GPT-2 BPE tokenizer.
+                         (ref: src/gguf.zig, src/safetensors.zig, src/tokenizer.zig)
+- ``zgml_tpu.ops``     — Pallas TPU kernels (fused dequant-matmul, flash attention,
+                         rmsnorm, rope) + pure-jnp reference oracles for conformance.
+                         (ref: src/tensor/forward.zig, src/backend/*)
+- ``zgml_tpu.graph``   — small primitive-op graph IR with a fusion pass, lowered to
+                         jitted JAX. (ref: src/op.zig, src/graph.zig, src/fusion.zig)
+- ``zgml_tpu.models``  — llama-family, GPT-2, Whisper, demo models as functional
+                         param-pytree modules. (ref: src/models/*)
+- ``zgml_tpu.nn``      — layers, losses, initializers. (ref: src/nn.zig, src/loss.zig)
+- ``zgml_tpu.optim``   — SGD/Adam/AdamW. (ref: src/optim/*)
+- ``zgml_tpu.runtime`` — inference engine (prefill/decode plans, sampling, continuous
+                         batching), profiling. (ref: src/llama_inference.zig, src/llm.zig)
+- ``zgml_tpu.parallel``— mesh/sharding/collectives: the multi-chip dimension the
+                         reference does not have (SURVEY.md §2.7).
+- ``zgml_tpu.data``    — MNIST/dataloader. (ref: src/data/*)
+"""
+
+__version__ = "0.1.0"
+
+from zgml_tpu import quant, io, ops  # noqa: F401

@@ -1,0 +1,237 @@
+"""Flash attention Pallas kernels (prefill + decode) with GQA and KV-length masking.
+
+Blockwise online-softmax attention — the TPU redesign of the reference's
+streaming-softmax CPU kernel (src/tensor/forward.zig:1687-1818) and its
+quantized-KV variant (src/quant.zig:925-1091). Scores are never materialized;
+each KV block updates a running (max, sum, acc) triple in VMEM.
+
+Both kernels take the *full* fixed-shape KV cache [B, Hkv, S, d] plus a dynamic
+`kv_len` scalar; blocks beyond kv_len (and causally-invalid blocks) are skipped
+on the compute side (the analog of seq_kv patching, device_inference.zig:252-256).
+
+GQA (ref: llama_transformer.zig:49-51): Hq = n_rep * Hkv. Prefill maps each query
+head to its KV head in the BlockSpec index maps; decode folds the n_rep query
+heads of one KV head into the sublane (row) axis of the score matmul — rows are
+query heads, which keeps the MXU busy even at batch 1.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+
+
+# -- prefill flash attention --------------------------------------------------
+
+def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, bq: int, bk: int, scale: float, n_kb: int):
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    kv_len = lens_ref[0]       # valid keys
+    q_off = lens_ref[1]        # absolute position of query row 0
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal + length block skip: block key range [kb*bk, kb*bk+bk) intersects
+    # valid [0, min(kv_len, q_off + qb*bq + bq))
+    q_abs_max = q_off + (qb + 1) * bq - 1
+    block_live = (kb * bk <= q_abs_max) & (kb * bk < kv_len)
+
+    @pl.when(block_live)
+    def _():
+        q = q_ref[0].astype(jnp.float32)          # [bq, d]
+        k = k_ref[0].astype(jnp.float32)          # [bk, d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        # mask: key j (abs kb*bk+j) must be < kv_len and <= q_off + (qb*bq+i)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
+        qi = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qb * bq + q_off
+        valid = (ki < kv_len) & (ki <= qi)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                      # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                     # [bq, bk]
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
+def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float):
+    """q: [B*Hq, Tq, d], k/v: [B*Hkv, S, d], lens: int32 [2] = (kv_len, q_off).
+
+    hq = query heads per batch element; flattened q-head index h maps to
+    flattened kv-head index (h // hq)*(hq // n_rep) + (h % hq)//n_rep.
+    """
+    bhq, tq, d = q.shape
+    bhkv, s, _ = k.shape
+    n_qb = tq // bq
+    n_kb = s // bk
+    hkv = hq // n_rep
+
+    def kv_index(h, qb_, kb_):
+        return ((h // hq) * hkv + (h % hq) // n_rep, kb_, 0)
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb),
+        grid=(bhq, n_qb, n_kb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lens [2]
+            pl.BlockSpec((1, bq, d), lambda h, qb_, kb_: (h, qb_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, qb_, kb_: (h, qb_, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max (col 0 used)
+            pltpu.VMEM((bq, 128), jnp.float32),  # running sum
+            pltpu.VMEM((bq, d), jnp.float32),    # output accumulator
+        ],
+        interpret=_interpret(),
+    )(lens, q, k, v)
+
+
+def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                           kv_len=None, q_offset=0,
+                           bq: int = 128, bk: int = 128) -> jax.Array:
+    """q [B,Hq,Tq,d], k/v [B,Hkv,S,d] -> [B,Hq,Tq,d]; causal with offset.
+
+    Query row i has absolute position q_offset + i; only keys with absolute
+    position < kv_len and <= query position contribute. kv_len defaults to S.
+    """
+    b, hq, tq, d = q.shape
+    _, hkv, s, _ = k.shape
+    n_rep = hq // hkv
+    if kv_len is None:
+        kv_len = s
+    bq_eff = min(bq, tq)
+    while tq % bq_eff:
+        bq_eff //= 2
+    bk_eff = min(bk, s)
+    while s % bk_eff:
+        bk_eff //= 2
+    lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
+                      jnp.asarray(q_offset, jnp.int32).reshape(())])
+    out = _flash(q.reshape(b * hq, tq, d), k.reshape(b * hkv, s, d),
+                 v.reshape(b * hkv, s, d), lens,
+                 hq=hq, n_rep=n_rep, bq=bq_eff, bk=bk_eff, scale=1.0 / (d ** 0.5))
+    return out.reshape(b, hq, tq, d)
+
+
+# -- decode attention ---------------------------------------------------------
+
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                   *, bk: int, scale: float, n_kb: int, n_rep_pad: int):
+    kb = pl.program_id(1)
+    kv_len = len_ref[0]
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb * bk < kv_len)
+    def _():
+        q = q_ref[0].astype(jnp.float32)           # [n_rep_pad, d] (rows = q heads)
+        k = k_ref[0].astype(jnp.float32)           # [bk, d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        ki = jax.lax.broadcasted_iota(jnp.int32, (n_rep_pad, bk), 1) + kb * bk
+        s = jnp.where(ki < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "scale", "n_rep_pad"))
+def _decode(qg, k, v, kv_len, *, bk: int, scale: float, n_rep_pad: int):
+    """qg: [BHkv, n_rep_pad, d], k/v: [BHkv, S, d], kv_len: int32 [1] (SMEM)."""
+    bhkv, nr, d = qg.shape
+    _, s, _ = k.shape
+    n_kb = s // bk
+    return pl.pallas_call(
+        functools.partial(_decode_kernel, bk=bk, scale=scale, n_kb=n_kb,
+                          n_rep_pad=nr),
+        grid=(bhkv, n_kb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, kb: (h, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda h, kb: (h, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nr, 128), jnp.float32),
+            pltpu.VMEM((nr, 128), jnp.float32),
+            pltpu.VMEM((nr, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(kv_len, qg, k, v)
+
+
+def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                            kv_len, bk: int = 256) -> jax.Array:
+    """q [B,Hq,1,d], k/v [B,Hkv,S,d], kv_len scalar -> [B,Hq,1,d]."""
+    b, hq, _, d = q.shape
+    _, hkv, s, _ = k.shape
+    n_rep = hq // hkv
+    nr_pad = max(8, n_rep)
+    qg = q.reshape(b, hkv, n_rep, d)
+    if nr_pad != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, nr_pad - n_rep), (0, 0)))
+    qg = qg.reshape(b * hkv, nr_pad, d)
+    bk_eff = min(bk, s)
+    while s % bk_eff:
+        bk_eff //= 2
+    lens = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    out = _decode(qg, k.reshape(b * hkv, s, d), v.reshape(b * hkv, s, d), lens,
+                  bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad)
+    out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
+    return out.reshape(b, hq, 1, d)

@@ -1,0 +1,109 @@
+"""Op dispatch: route each op to its Pallas kernel or the jnp reference.
+
+The analog of the reference's backend vtable + capabilities gating
+(src/backend.zig:330-382): callers use one API; the implementation is selected by
+platform and the ZGML_TPU_KERNELS env toggle. The "no silent fallback" rule
+(perf-targets.md:52-54) is kept via zgml_tpu.runtime.profile counters: every call
+records which tier served it.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from zgml_tpu.ops import refs
+from zgml_tpu.quant.repack import PackedWeight
+
+
+def use_pallas() -> bool:
+    """Pallas kernels are on by default; ZGML_TPU_KERNELS=ref forces the jnp oracle.
+    In interpret mode (tests) Pallas still runs, interpreted."""
+    return os.environ.get("ZGML_TPU_KERNELS", "pallas") != "ref"
+
+
+def _count(name: str, tier: str):
+    from zgml_tpu.runtime.profile import global_profile
+    global_profile.count_op(name, tier)
+
+
+# -- quantized matmul ---------------------------------------------------------
+
+def qmatmul(x: jax.Array, w: Any, out_dtype=jnp.float32) -> jax.Array:
+    """x [..., K] @ W -> [..., N].
+
+    W is a PackedWeight (fused dequant kernel) or a plain [K, N] jax array.
+    """
+    if isinstance(w, PackedWeight):
+        if use_pallas():
+            from zgml_tpu.ops.qmatmul import qmatmul_pallas
+            _count("qmatmul", "pallas")
+            return qmatmul_pallas(x, w, out_dtype=out_dtype)
+        _count("qmatmul", "ref")
+        lead = x.shape[:-1]
+        out = refs.qmatmul_ref(x.reshape(-1, x.shape[-1]), w.qvals, w.scales, w.kind)
+        return out[:, : w.n].reshape(*lead, w.n).astype(out_dtype)
+    _count("matmul", "xla")
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+# -- normalization / rope / attention ----------------------------------------
+
+def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
+    if use_pallas():
+        from zgml_tpu.ops.rmsnorm import rmsnorm_pallas
+        _count("rmsnorm", "pallas")
+        return rmsnorm_pallas(x, gamma, eps)
+    _count("rmsnorm", "ref")
+    return refs.rmsnorm_ref(x, gamma, eps)
+
+
+def rope_apply(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    # pure elementwise — XLA fuses this optimally into neighbors; a dedicated
+    # kernel only pays off fused into the cache store (see ops/attention.py).
+    _count("rope", "xla")
+    return refs.rope_apply_ref(x, cos, sin)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    kv_len=None, q_offset=0) -> jax.Array:
+    """Prefill attention, GQA-aware and causal: q [B,Hq,Tq,d], k/v [B,Hkv,S,d].
+
+    Query row i has absolute position q_offset + i; keys with absolute position
+    < kv_len and <= the query's position contribute.
+    """
+    if use_pallas():
+        from zgml_tpu.ops.attention import flash_attention_pallas
+        _count("attention", "pallas")
+        return flash_attention_pallas(q, k, v, kv_len, q_offset)
+    _count("attention", "ref")
+    s = k.shape[2]
+    tq = q.shape[2]
+    if kv_len is None:
+        kv_len = s
+    ki = jnp.arange(s)[None, :]
+    qi = jnp.arange(tq)[:, None] + q_offset
+    mask = (ki < kv_len) & (ki <= qi)                   # [Tq, S]
+    return refs.gqa_attention_ref(q, k, v, mask[None, None])
+
+
+def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     kv_len: jax.Array) -> jax.Array:
+    """Single-step attention over a KV cache prefix.
+
+    q: [B, Hq, 1, d]; k/v: [B, Hkv, S, d] (S = max_seq); kv_len: [] or [B]
+    number of valid cache positions (ref: seq_kv patching,
+    src/device_inference.zig:252-256 — kernels never scan invalid cache).
+    """
+    if use_pallas():
+        from zgml_tpu.ops.attention import decode_attention_pallas
+        _count("decode_attention", "pallas")
+        return decode_attention_pallas(q, k, v, kv_len)
+    _count("decode_attention", "ref")
+    s = k.shape[2]
+    pos = jnp.arange(s)[None, :]
+    valid = pos < jnp.reshape(kv_len, (-1, 1))          # [B, S]
+    mask = valid[:, None, None, :]                      # [B, 1, 1, S]
+    return refs.gqa_attention_ref(q, k, v, mask)

@@ -1,0 +1,175 @@
+"""Fused dequant + matmul Pallas kernels for Q8_0 / Q4_0 planar K-major weights.
+
+The north-star kernel (BASELINE.json): packed integer blocks stream from HBM into
+VMEM, dequantize in-register on the VPU, and feed the MXU — the weight matrix is
+never materialized in f32 in HBM. Semantics match zgml's quantized matmul
+(src/quant.zig:475-578 int8 matmul, :347-440 SDOT GEMV) with the layout redesigned
+for TPU (see zgml_tpu/quant/repack.py).
+
+Grid: (N//BN, K//BK) with K innermost so each [M, BN] output tile accumulates
+across K steps in VMEM (revisiting pattern). Scales broadcast along the sublane
+(K) axis only — never across the 128-wide lane axis.
+
+For Q4_0 the packed array holds K-halves (lo nibble = k, hi nibble = k + K/2), so
+the activation is fed twice per K-step with two index maps (x_lo at k, x_hi at
+k + K/2), keeping the unpack branch-free elementwise bit math.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zgml_tpu.quant.blocks import QK
+from zgml_tpu.quant.repack import PackedWeight
+
+
+def _interpret() -> bool:
+    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+
+
+def _expand_scales(s, block=QK):
+    """[BK//32, BN] -> [BK, BN] by sublane-axis repeat (cheap relayout on TPU)."""
+    return jnp.repeat(s, block, axis=0)
+
+
+# -- Q8_0 ---------------------------------------------------------------------
+
+def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[:].astype(jnp.float32) * _expand_scales(s_ref[:])
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
+def _q8_matmul(x, qvals, scales, *, bn: int, bk: int, out_dtype):
+    m, k_pad = x.shape
+    _, n_pad = qvals.shape
+    n_k = k_pad // bk
+    grid = (n_pad // bn, n_k)
+    return pl.pallas_call(
+        functools.partial(_q8_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda nb, kb: (0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda nb, kb: (kb, nb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // QK, bn), lambda nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda nb, kb: (0, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        interpret=_interpret(),
+    )(x, qvals, scales)
+
+
+# -- Q4_0 ---------------------------------------------------------------------
+
+def _q4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
+               *, n_k: int, out_dtype):
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    v = q_ref[:].astype(jnp.int32)
+    wlo = ((v & 15) - 8).astype(jnp.float32) * _expand_scales(slo_ref[:])
+    whi = (((v >> 4) & 15) - 8).astype(jnp.float32) * _expand_scales(shi_ref[:])
+    acc_ref[:] += (jnp.dot(xlo_ref[:], wlo, preferred_element_type=jnp.float32) +
+                   jnp.dot(xhi_ref[:], whi, preferred_element_type=jnp.float32))
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
+def _q4_matmul(x, qvals, scales, *, bn: int, bk: int, out_dtype):
+    """bk is the *packed* K tile (covers 2*bk logical K per step)."""
+    m, k_pad = x.shape
+    kh, n_pad = qvals.shape          # kh = k_pad // 2
+    n_k = kh // bk
+    grid = (n_pad // bn, n_k)
+    return pl.pallas_call(
+        functools.partial(_q4_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            # x low half: k in [kb*bk, kb*bk+bk)
+            pl.BlockSpec((m, bk), lambda nb, kb: (0, kb), memory_space=pltpu.VMEM),
+            # x high half: k in [k_pad/2 + kb*bk, ...)
+            pl.BlockSpec((m, bk), lambda nb, kb: (0, kb + n_k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda nb, kb: (kb, nb), memory_space=pltpu.VMEM),
+            # scales, low half rows then high half rows
+            pl.BlockSpec((bk // QK, bn), lambda nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            # high-half scale rows start at block index n_k (= kh/bk blocks in)
+            pl.BlockSpec((bk // QK, bn), lambda nb, kb: (kb + n_k, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda nb, kb: (0, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        interpret=_interpret(),
+    )(x, x, qvals, scales, scales)
+
+
+# -- public wrapper -----------------------------------------------------------
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
+                   bn: int = 256, bk: int = 256,
+                   out_dtype=jnp.float32) -> jax.Array:
+    """x [..., K] @ dequant(W)[K, N] -> [..., N] via the fused Pallas kernel.
+
+    Pads M to a sublane multiple and K to the weight's padded K; slices the
+    logical N back out.
+    """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    m_pad = max(8, _round_up(m, 8))
+    if k < pw.k_pad or m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, pw.k_pad - k)))
+    # choose tile sizes that divide the padded dims
+    bn_eff = bn if pw.n_pad % bn == 0 else _largest_divisor(pw.n_pad, bn)
+    if pw.kind == "q8_0":
+        bk_eff = bk if pw.k_pad % bk == 0 else _largest_divisor(pw.k_pad, bk)
+        out = _q8_matmul(x2, pw.qvals, pw.scales, bn=bn_eff, bk=bk_eff,
+                         out_dtype=out_dtype)
+    elif pw.kind == "q4_0":
+        kh = pw.k_pad // 2
+        bk_eff = bk if kh % bk == 0 else _largest_divisor(kh, bk)
+        out = _q4_matmul(x2, pw.qvals, pw.scales, bn=bn_eff, bk=bk_eff,
+                         out_dtype=out_dtype)
+    else:
+        raise ValueError(pw.kind)
+    return out[:m, : pw.n].reshape(*lead, pw.n)
+
+
+def _largest_divisor(total: int, limit: int) -> int:
+    """Largest multiple-of-128 (or the full dim) divisor of `total` that is <= limit."""
+    for cand in range(min(limit, total), 0, -128):
+        if cand % 128 == 0 and total % cand == 0:
+            return cand
+    return total

@@ -1,0 +1,159 @@
+"""Repack ggml block-quantized weights into a TPU-friendly layout.
+
+The analog of the reference's `prepareTransposed` GEMV re-blocking
+(src/quant.zig:274-317): a one-time load-time layout transform so the hot kernel
+streams memory in its natural order.
+
+TPU layout ("planar K-major blocks"): split packed integer values from scales and
+transpose to K-major so that
+
+  - the fused dequant-matmul is ``x[M, BK] @ w[BK, BN]`` with no transposition
+    (MXU-native orientation), and
+  - the per-32-block scales broadcast along the *sublane* axis (cheap relayout),
+    never along the 128-wide lane axis.
+
+  Q8_0  -> qvals  int8 [Kp, Np]          (one int8 per element)
+           scales f32  [Kp//32, Np]      (per-block absmax/127 scale)
+  Q4_0  -> qvals  int8 [Kp//2, Np]       packed nibbles, *global half-split along K*:
+                                         byte row j = (w[j + Kp//2, :] << 4) | w[j, :]
+                                         where w holds unsigned nibbles 0..15
+           scales f32  [Kp//32, Np]
+
+`Np`/`Kp` are the logical (N=out_features, K=in_features) dims padded to tile
+multiples with zeros (zero blocks contribute nothing to the matmul).
+
+Why the half-split for Q4_0: unpacking is then branch-free elementwise bit math
+(lo = (b&15)-8 covers k in [0, Kp/2), hi = ((b>>4)&15)-8 covers k in [Kp/2, Kp)),
+with no intra-tile interleave/reshape on TPU. The matmul kernel consumes the
+activation K-axis in two halves (x is passed with two BlockSpecs), see
+zgml_tpu/ops/qmatmul.py.
+
+GGUF stores a 2-D tensor as ne=[K, N] row-major with each output row contiguous
+along K, and blocks quantize along K — i.e. a raw GGUF tensor is [N, K] in numpy
+terms; repack transposes once on the host.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from zgml_tpu.quant.blocks import QK, Q4_0_BLOCK_BYTES, Q8_0_BLOCK_BYTES
+
+
+@dataclasses.dataclass
+class PackedWeight:
+    """A repacked weight for the fused dequant-matmul kernels.
+
+    qvals/scales are numpy (host) or jax arrays; n/k record the logical
+    (unpadded) out/in-feature dims so wrappers can slice outputs.
+    """
+    kind: str          # 'q4_0' | 'q8_0'
+    n: int             # logical out_features
+    k: int             # logical in_features
+    n_pad: int         # padded N (lane axis of qvals/scales)
+    k_pad: int         # padded K
+    qvals: Any         # int8 [k_pad, n_pad] (q8) or [k_pad//2, n_pad] (q4)
+    scales: Any        # f32 [k_pad//32, n_pad]
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.qvals.nbytes + self.scales.nbytes)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_nk(a: np.ndarray, k_pad: int, n_pad: int, fill=0) -> np.ndarray:
+    """Pad a [K-like, N] array up to [k_pad, n_pad]."""
+    kk, nn = a.shape
+    if kk == k_pad and nn == n_pad:
+        return a
+    out = np.full((k_pad, n_pad), fill, dtype=a.dtype)
+    out[:kk, :nn] = a
+    return out
+
+
+def repack_q8_0(raw: bytes | np.ndarray, n: int, k: int,
+                n_align: int = 256, k_align: int = 256) -> PackedWeight:
+    """Raw GGUF Q8_0 bytes for an [N, K] weight -> planar K-major TPU layout."""
+    if k % QK != 0:
+        raise ValueError(f"K={k} not divisible by {QK}")
+    buf = np.frombuffer(bytes(raw) if not isinstance(raw, np.ndarray) else raw.tobytes(),
+                        dtype=np.uint8)
+    n_blocks = n * k // QK
+    blk = buf[: n_blocks * Q8_0_BLOCK_BYTES].reshape(n_blocks, Q8_0_BLOCK_BYTES)
+    scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
+    qvals = blk[:, 2:].copy().view(np.int8).reshape(n, k)
+    n_pad, k_pad = _round_up(n, n_align), _round_up(k, k_align)
+    return PackedWeight("q8_0", n, k, n_pad, k_pad,
+                        _pad_nk(np.ascontiguousarray(qvals.T), k_pad, n_pad),
+                        _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
+
+
+def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
+                n_align: int = 256, k_align: int = 512) -> PackedWeight:
+    """Raw GGUF Q4_0 bytes for an [N, K] weight -> planar half-split K-major layout.
+
+    k_align must be a multiple of 2*QK so both K-halves stay 32-block-aligned.
+    """
+    if k % QK != 0:
+        raise ValueError(f"K={k} not divisible by {QK}")
+    if k_align % (2 * QK) != 0:
+        raise ValueError(f"k_align={k_align} must be a multiple of {2*QK}")
+    buf = np.frombuffer(bytes(raw) if not isinstance(raw, np.ndarray) else raw.tobytes(),
+                        dtype=np.uint8)
+    n_blocks = n * k // QK
+    blk = buf[: n_blocks * Q4_0_BLOCK_BYTES].reshape(n_blocks, Q4_0_BLOCK_BYTES)
+    scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
+    nib = blk[:, 2:]  # ggml order: byte j of a block = elements (j, j+16)
+    # unpack to unsigned nibbles [n, k] in natural element order
+    w = np.empty((n_blocks, QK), dtype=np.uint8)
+    w[:, :16] = nib & 0x0F
+    w[:, 16:] = nib >> 4
+    w = w.reshape(n, k)
+    n_pad, k_pad = _round_up(n, n_align), _round_up(k, k_align)
+    wp = _pad_nk(np.ascontiguousarray(w.T), k_pad, n_pad, fill=8)  # nibble 8 == 0
+    half = k_pad // 2
+    packed = (wp[:half] | (wp[half:] << 4)).astype(np.uint8).view(np.int8)
+    return PackedWeight("q4_0", n, k, n_pad, k_pad, packed,
+                        _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
+
+
+def repack_gguf_tensor(kind: str, raw: bytes | np.ndarray, n: int, k: int,
+                       **kw) -> PackedWeight:
+    if kind == "q8_0":
+        return repack_q8_0(raw, n, k, **kw)
+    if kind == "q4_0":
+        return repack_q4_0(raw, n, k, **kw)
+    raise ValueError(f"unsupported quant kind {kind!r}")
+
+
+def quantize_weight(w: np.ndarray, kind: str, **kw) -> PackedWeight:
+    """Quantize an f32 [N, K] weight directly into the TPU layout (the post-hoc
+    `quantize()` path of the reference, llama_inference.zig:189-231)."""
+    from zgml_tpu.quant.blocks import quantize_q4_0, quantize_q8_0
+    n, k = w.shape
+    raw = quantize_q4_0(w) if kind == "q4_0" else quantize_q8_0(w)
+    return repack_gguf_tensor(kind, raw, n, k, **kw)
+
+
+def dequant_packed(pw: PackedWeight) -> np.ndarray:
+    """Host-side oracle: PackedWeight -> f32 [n, k] (logical, unpadded, N-major
+    to match the GGUF orientation)."""
+    scales = np.asarray(pw.scales, dtype=np.float32)
+    if pw.kind == "q8_0":
+        q = np.asarray(pw.qvals, dtype=np.float32)
+        w = q * np.repeat(scales, QK, axis=0)
+    elif pw.kind == "q4_0":
+        b = np.asarray(pw.qvals).view(np.uint8)
+        w = np.empty((pw.k_pad, pw.n_pad), dtype=np.float32)
+        half = pw.k_pad // 2
+        w[:half] = (b & 0x0F).astype(np.int8) - 8
+        w[half:] = (b >> 4).astype(np.int8) - 8
+        w *= np.repeat(scales, QK, axis=0)
+    else:
+        raise ValueError(pw.kind)
+    return np.ascontiguousarray(w[: pw.k, : pw.n].T)
