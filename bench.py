@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: SmolLM-135M-shape Q8_0 decode on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's published decode rate
+(zgml tg200 ~208 tok/s on Apple Silicon, docs/perf-targets.md:13 — see
+BASELINE.md). Secondary numbers (prefill, placement profile) go to stderr.
+
+The model is synthetic (zero-egress environment) but has exactly SmolLM-135M's
+shapes, quantization format, and an untied Q8_0 lm_head (strictly more work per
+token than the tied real model). Decode is measured llama.cpp-style: bs=1,
+greedy, one host sync per generated token.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_model(path: str, cfg, quant):
+    from zgml_tpu.utils.synthetic import write_synthetic_llama_gguf
+    if not os.path.exists(path):
+        t0 = time.time()
+        log(f"writing synthetic model {path} ...")
+        write_synthetic_llama_gguf(path, cfg, quant, seed=0)
+        log(f"  wrote in {time.time()-t0:.1f}s")
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="smollm", choices=["smollm", "tiny"])
+    ap.add_argument("--quant", default="q8_0", choices=["q8_0", "q4_0"])
+    ap.add_argument("--pp", type=int, default=128, help="prefill tokens")
+    ap.add_argument("--tg", type=int, default=200, help="decode tokens")
+    ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    args = ap.parse_args()
+
+    import dataclasses
+    import jax
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.runtime.engine import LlamaEngine
+    from zgml_tpu.runtime.profile import global_profile
+    from zgml_tpu.utils import synthetic
+
+    log(f"devices: {jax.devices()}")
+    if args.smoke:
+        args.preset, args.pp, args.tg = "tiny", 16, 8
+
+    if args.preset == "smollm":
+        cfg = dataclasses.replace(synthetic.SMOLLM_135M, tied_lm_head=False,
+                                  max_seq_len=2048)
+    else:
+        cfg = synthetic.TINY_TEST
+    quant = GGMLType.Q8_0 if args.quant == "q8_0" else GGMLType.Q4_0
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{args.preset}_{args.quant}.gguf")
+    build_model(path, cfg, quant)
+
+    t0 = time.time()
+    model, _ = load_llama(path, mode="quantized")
+    model.params = jax.device_put(model.params)
+    log(f"loaded+repacked in {time.time()-t0:.1f}s "
+        f"(cfg: d={cfg.d_model} L={cfg.n_layers} heads={cfg.n_heads}/"
+        f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")
+
+    eng = LlamaEngine(model, batch=1, prefill_chunk=min(args.pp, 128))
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, args.pp).astype(np.int32)
+
+    # -- warmup (compiles prefill + decode plans) ----------------------------
+    t0 = time.time()
+    eng.prefill(prompt)
+    tok, _ = eng.step(np.array([1]))
+    for _ in range(2):
+        tok, _ = eng.step(tok)
+    jax.block_until_ready(tok)
+    log(f"warmup/compile in {time.time()-t0:.1f}s")
+
+    # -- prefill -------------------------------------------------------------
+    eng.reset()
+    t0 = time.time()
+    last = eng.prefill(prompt)
+    jax.block_until_ready(last)
+    pp_rate = args.pp / (time.time() - t0)
+
+    # -- decode --------------------------------------------------------------
+    tok, _ = eng.step(np.array([1]))
+    t0 = time.time()
+    for _ in range(args.tg):
+        tok, _ = eng.step(tok)
+    jax.block_until_ready(tok)
+    tg_rate = args.tg / (time.time() - t0)
+
+    log(f"pp{args.pp}: {pp_rate:.1f} tok/s   tg{args.tg}: {tg_rate:.1f} tok/s")
+    log(global_profile.render())
+
+    baseline_decode = 208.0  # zgml tg200, BASELINE.md
+    print(json.dumps({
+        "metric": f"decode tok/s (SmolLM-135M-shape {args.quant.upper()}, bs=1, tg{args.tg})",
+        "value": round(tg_rate, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tg_rate / baseline_decode, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

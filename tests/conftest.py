@@ -14,3 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["ZGML_TPU_INTERPRET"] = "1"  # Pallas interpret mode on CPU
+
+# The axon TPU plugin overrides JAX_PLATFORMS; the config flag wins over it.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,109 @@
+"""Llama model + engine tests (CPU, interpret-mode kernels).
+
+Mirrors the reference's equivalence/metamorphic strategy (SURVEY.md §4.3):
+prefill vs sequential step, reset determinism, quantized-vs-dense cosine
+similarity, loader roundtrip.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.io.llama_loader import load_llama, config_from_gguf
+from zgml_tpu.models.llama import LlamaConfig, LlamaModel, init_params
+from zgml_tpu.runtime.engine import LlamaEngine
+from zgml_tpu.utils.synthetic import TINY_TEST, write_synthetic_llama_gguf
+from zgml_tpu.io.gguf import GGMLType
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny.gguf"
+    write_synthetic_llama_gguf(str(path), TINY_TEST, GGMLType.Q8_0, seed=3)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def dense_model(tiny_gguf):
+    model, _ = load_llama(tiny_gguf, mode="dense")
+    return model
+
+
+def test_config_from_gguf(tiny_gguf):
+    from zgml_tpu.io.gguf import GGUFFile
+    with GGUFFile(tiny_gguf) as gf:
+        cfg = config_from_gguf(gf)
+    assert cfg.d_model == TINY_TEST.d_model
+    assert cfg.n_kv_heads == TINY_TEST.n_kv_heads
+    assert cfg.n_layers == TINY_TEST.n_layers
+    assert not cfg.tied_lm_head
+    assert cfg.vocab_size == TINY_TEST.vocab_size
+
+
+def test_forward_shapes(dense_model):
+    model = dense_model
+    cache = model.init_cache(1)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    logits, cache2 = model.forward(model.params, tokens, cache, 0)
+    assert logits.shape == (1, 4, model.cfg.vocab_size)
+    assert not np.any(np.isnan(np.asarray(logits)))
+    assert cache2["k"].shape == cache["k"].shape
+
+
+def test_prefill_matches_sequential_decode(dense_model):
+    """ref: 'prefill vs sequential step', llama_inference.zig:983-1034."""
+    toks = [5, 17, 9, 120, 33, 7, 64, 2, 90]
+    # sequential: step one token at a time
+    eng1 = LlamaEngine(dense_model, prefill_chunk=4, donate_cache=False)
+    logits_seq = None
+    for i, t in enumerate(toks):
+        model = dense_model
+        logits, eng1.cache = model.forward(
+            model.params, jnp.asarray([[t]], jnp.int32), eng1.cache, i)
+        logits_seq = logits[:, -1]
+    # chunked prefill (chunk=4 over 9 tokens => 4+4+1 with padded tail)
+    eng2 = LlamaEngine(dense_model, prefill_chunk=4, donate_cache=False)
+    logits_pf = eng2.prefill(toks)
+    np.testing.assert_allclose(np.asarray(logits_pf), np.asarray(logits_seq),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_reset_determinism(dense_model):
+    """ref: reset determinism, llama_inference.zig:797-827."""
+    eng = LlamaEngine(dense_model, donate_cache=False)
+    out1 = eng.generate([1, 2, 3], 5)
+    eng.reset()
+    out2 = eng.generate([1, 2, 3], 5)
+    assert out1 == out2
+
+
+def test_quantized_close_to_dense(tiny_gguf, dense_model):
+    """ref: quantized cosine-similarity >= 0.99, llama_inference.zig:911-954."""
+    qmodel, _ = load_llama(tiny_gguf, mode="quantized")
+    # quantized path must actually use PackedWeight
+    from zgml_tpu.quant.repack import PackedWeight
+    assert isinstance(qmodel.params["layers"]["wq"], PackedWeight)
+    toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    ld, _ = dense_model.forward(dense_model.params, toks,
+                                dense_model.init_cache(1), 0)
+    lq, _ = qmodel.forward(qmodel.params, toks, qmodel.init_cache(1), 0)
+    a = np.asarray(ld[:, -1]).ravel()
+    b = np.asarray(lq[:, -1]).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos >= 0.99, cos
+
+
+def test_generate_greedy_deterministic(dense_model):
+    eng = LlamaEngine(dense_model, donate_cache=False)
+    out = eng.generate([10, 20, 30], 8)
+    assert len(out) == 8
+    assert all(0 <= t < dense_model.cfg.vocab_size for t in out)
+
+
+def test_init_params_forward():
+    cfg = LlamaConfig(vocab_size=128, d_model=32, n_heads=2, n_kv_heads=1,
+                      d_ff=64, n_layers=2, max_seq_len=32, tied_lm_head=True)
+    model = LlamaModel(cfg, init_params(cfg, seed=0))
+    logits, _ = model.forward(model.params, jnp.asarray([[1, 2]], jnp.int32),
+                              model.init_cache(1), 0)
+    assert logits.shape == (1, 2, 128)
+    assert np.isfinite(np.asarray(logits)).all()

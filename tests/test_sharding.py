@@ -1,0 +1,97 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh.
+
+The distributed layer has no reference counterpart (SURVEY.md §2.7) — the oracle
+is the single-device model itself: TP+DP execution must be numerically
+equivalent to unsharded execution.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.models.llama import LlamaConfig, LlamaModel, init_params
+from zgml_tpu.parallel import (make_mesh, make_sharded_forward,
+                               make_sharded_train_step, shard_llama_params)
+
+CFG = LlamaConfig(vocab_size=256, d_model=64, n_heads=8, n_kv_heads=4,
+                  d_ff=128, n_layers=2, max_seq_len=32)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return LlamaModel(CFG, init_params(CFG, seed=0))
+
+
+def test_mesh_shape():
+    mesh = make_mesh(tp=4, dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert len(jax.devices()) == 8
+
+
+def test_tp_forward_matches_single_device(model):
+    mesh = make_mesh(tp=4, dp=2)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)),
+                         jnp.int32)
+    ref_logits, _ = model.forward(model.params, tokens, model.init_cache(2), 0)
+
+    fwd = make_sharded_forward(model, mesh)
+    params = shard_llama_params(model.params, mesh)
+    cache = model.init_cache(2)
+    logits, new_cache = fwd(params, tokens, cache, 0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    assert new_cache["k"].shape == (CFG.n_layers, 2, CFG.n_kv_heads,
+                                    CFG.max_seq_len, CFG.head_dim)
+
+
+def test_tp_decode_matches_single_device(model):
+    mesh = make_mesh(tp=2, dp=4)
+    b = 4
+    tokens = jnp.asarray(np.random.default_rng(1).integers(0, 256, (b, 1)),
+                         jnp.int32)
+    cache0 = model.init_cache(b)
+    ref_logits, _ = model.forward(model.params, tokens, cache0, 0)
+    fwd = make_sharded_forward(model, mesh)
+    params = shard_llama_params(model.params, mesh)
+    logits, _ = fwd(params, tokens, model.init_cache(b), 0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_tp_train_step_matches_single_device(model):
+    """Sharded grads/update must equal the unsharded train step (Megatron
+    _tp_copy exactness)."""
+    from zgml_tpu.ops.dispatch import force_ref
+    from zgml_tpu.optim.sgd import sgd_update
+
+    mesh = make_mesh(tp=4, dp=2)
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, 256, (2, 9)), jnp.int32)
+
+    # single-device reference step
+    def loss_fn(params):
+        with force_ref():
+            logits, _ = model.forward(params, tokens[:, :-1],
+                                      model.init_cache(2), 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:][..., None], axis=-1)
+        return jnp.mean(nll)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(model.params)
+    ref_params = sgd_update(model.params, ref_grads, 0.1)
+
+    step = make_sharded_train_step(model, mesh)
+    params = shard_llama_params(model.params, mesh)
+    loss, new_params = step(params, tokens, model.init_cache(2), 0.1)
+
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    for name in ("tok_embd", "out_norm"):
+        np.testing.assert_allclose(np.asarray(new_params[name]),
+                                   np.asarray(ref_params[name]),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_params["layers"]["wq"]),
+                               np.asarray(ref_params["layers"]["wq"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_params["layers"]["w_down"]),
+                               np.asarray(ref_params["layers"]["w_down"]),
+                               rtol=1e-4, atol=1e-5)

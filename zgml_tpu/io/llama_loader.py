@@ -1,0 +1,131 @@
+"""GGUF -> LlamaModel loader (llama.cpp tensor-name convention).
+
+Parity target: src/models/gguf_loader.zig — the name map (token_embd.weight,
+blk.{i}.attn_{q,k,v,output}.weight, ffn_{gate,up,down}, norms, output.weight;
+documented at gguf_loader.zig:397-411), `configFromGGUF` metadata keys with
+fallbacks (:214-234), and both load modes:
+
+  - `mode="quantized"` (analog of loadDirectQuantized, :340-391): Q4_0/Q8_0
+    matmul weights stay compressed as PackedWeight (repacked to the TPU planar
+    layout); norms/embeddings dequantize to f32.
+  - `mode="dense"` (analog of loadDequantized, :412-476): everything dequantized
+    to a dense dtype.
+
+Layer tensors are *stacked* along a leading layer axis so the model's lax.scan
+consumes them directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from zgml_tpu.io.gguf import GGUFFile, GGMLType
+from zgml_tpu.models.llama import LlamaConfig, LlamaModel
+from zgml_tpu.quant.repack import PackedWeight, repack_gguf_tensor
+
+_QUANT_KINDS = {GGMLType.Q4_0: "q4_0", GGMLType.Q8_0: "q8_0"}
+
+# per-layer matmul weights: model key -> gguf suffix
+_LAYER_MATMULS = {
+    "wq": "attn_q.weight",
+    "wk": "attn_k.weight",
+    "wv": "attn_v.weight",
+    "wo": "attn_output.weight",
+    "w_gate": "ffn_gate.weight",
+    "w_up": "ffn_up.weight",
+    "w_down": "ffn_down.weight",
+}
+_LAYER_NORMS = {
+    "attn_norm": "attn_norm.weight",
+    "ffn_norm": "ffn_norm.weight",
+}
+
+
+def config_from_gguf(gf: GGUFFile) -> LlamaConfig:
+    md = gf.metadata
+    arch = md.get("general.architecture", "llama")
+
+    def get(key, default=None):
+        return md.get(f"{arch}.{key}", default)
+
+    n_heads = int(get("attention.head_count", 32))
+    d_model = int(get("embedding_length", 4096))
+    vocab = md.get("tokenizer.ggml.tokens")
+    if vocab is not None:
+        vocab_size = len(vocab)
+    else:
+        vocab_size = int(gf.tensors["token_embd.weight"].np_shape[0])
+    tied = "output.weight" not in gf.tensors
+    return LlamaConfig(
+        vocab_size=vocab_size,
+        d_model=d_model,
+        n_heads=n_heads,
+        n_kv_heads=int(get("attention.head_count_kv", n_heads)),
+        d_ff=int(get("feed_forward_length", 4 * d_model)),
+        n_layers=int(get("block_count", 32)),
+        max_seq_len=int(get("context_length", 2048)),
+        rope_base=float(get("rope.freq_base", 10000.0)),
+        rms_norm_eps=float(get("attention.layer_norm_rms_epsilon", 1e-5)),
+        tied_lm_head=tied,
+    )
+
+
+def _stack_packed(pws: list[PackedWeight]) -> PackedWeight:
+    """Stack per-layer PackedWeights into [L, ...] leaves for lax.scan."""
+    first = pws[0]
+    for pw in pws[1:]:
+        if (pw.kind, pw.n_pad, pw.k_pad) != (first.kind, first.n_pad, first.k_pad):
+            raise ValueError("cannot stack heterogeneous PackedWeights")
+    return dataclasses.replace(
+        first,
+        qvals=jnp.asarray(np.stack([np.asarray(p.qvals) for p in pws])),
+        scales=jnp.asarray(np.stack([np.asarray(p.scales) for p in pws])))
+
+
+def _load_matmul(gf: GGUFFile, name: str, mode: str, dtype):
+    """Load one [N, K] matmul weight as PackedWeight or dense K-major [K, N]."""
+    info = gf.tensors[name]
+    kind = _QUANT_KINDS.get(info.ggml_type)
+    if mode == "quantized" and kind is not None:
+        n, k = info.np_shape
+        return repack_gguf_tensor(kind, gf.tensor_raw(name), n, k)
+    w = gf.tensor_f32(name)                      # [N, K]
+    return jnp.asarray(np.ascontiguousarray(w.T), dtype)  # K-major [K, N]
+
+
+def load_llama(path: str, mode: str = "quantized",
+               dtype=jnp.float32, max_seq_len: int | None = None
+               ) -> tuple[LlamaModel, GGUFFile]:
+    """Load a llama-architecture GGUF. Returns (model, parsed file).
+
+    The parsed GGUFFile is returned so callers can build the tokenizer from its
+    metadata (BPETokenizer.from_gguf).
+    """
+    gf = GGUFFile(path)
+    cfg = config_from_gguf(gf)
+    if max_seq_len is not None:
+        cfg = dataclasses.replace(cfg, max_seq_len=max_seq_len)
+    L = cfg.n_layers
+
+    layers: dict[str, object] = {}
+    for key, suffix in _LAYER_NORMS.items():
+        layers[key] = jnp.asarray(np.stack(
+            [gf.tensor_f32(f"blk.{i}.{suffix}") for i in range(L)]), dtype)
+    for key, suffix in _LAYER_MATMULS.items():
+        per_layer = [_load_matmul(gf, f"blk.{i}.{suffix}", mode, dtype)
+                     for i in range(L)]
+        if isinstance(per_layer[0], PackedWeight):
+            layers[key] = _stack_packed(per_layer)
+        else:
+            layers[key] = jnp.stack(per_layer)
+
+    params = {
+        "tok_embd": jnp.asarray(gf.tensor_f32("token_embd.weight"), dtype),
+        "out_norm": jnp.asarray(gf.tensor_f32("output_norm.weight"), dtype),
+        "layers": layers,
+    }
+    if not cfg.tied_lm_head:
+        params["lm_head"] = _load_matmul(gf, "output.weight", mode, dtype)
+    return LlamaModel(cfg, params), gf

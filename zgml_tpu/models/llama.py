@@ -1,0 +1,279 @@
+"""Llama-family decoder-only model: functional, pytree params, scan over layers.
+
+Capability parity with the reference's LLaMA (src/models/llama.zig,
+src/models/llama_transformer.zig): GQA (n_kv_heads <= n_heads), RMSNorm-gamma,
+separate Q/K/V projections, RoPE with HF half-split pairing, SwiGLU FFN
+(silu(x Wg) * (x Wu)) Wd, optional tied LM head — re-designed TPU-first:
+
+  - layers are a *stacked* pytree ([L, ...] leaves) consumed by lax.scan, so the
+    whole forward is one compiled loop instead of L inlined blocks;
+  - the KV cache is a fixed-shape [L, B, Hkv, S, d] pair threaded through the
+    scan and updated in place via dynamic_update_slice (the analog of the
+    reference's per-layer KV slabs with storage_offset patching,
+    llama_transformer.zig:211-220);
+  - every projection dispatches through zgml_tpu.ops (Pallas fused
+    dequant-matmul when the weight is a PackedWeight, XLA matmul when dense).
+
+Weights in a projection position are either a dense [K, N] jax array (K-major so
+the matmul is x @ w) or a zgml_tpu.quant.PackedWeight.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zgml_tpu.ops import dispatch as ops
+from zgml_tpu.ops import refs
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """ref: src/models/llama.zig:34-45."""
+    vocab_size: int
+    d_model: int
+    n_heads: int
+    n_kv_heads: int
+    d_ff: int
+    n_layers: int
+    max_seq_len: int = 2048
+    rope_base: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tied_lm_head: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def n_rep(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+
+# Per-layer params (leaves stacked along axis 0 = layer):
+#   attn_norm [L, D], wq [L, D, Hq*dh], wk/wv [L, D, Hkv*dh], wo [L, Hq*dh, D],
+#   ffn_norm [L, D], w_gate/w_up [L, D, F], w_down [L, F, D]
+# (or PackedWeight with [L, ...] qvals/scales for the matmul positions)
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0, dtype=jnp.float32,
+                scale: float = 0.02) -> dict:
+    """Random-init params (synthetic models for tests/benches)."""
+    rng = np.random.default_rng(seed)
+    d, hd = cfg.d_model, cfg.head_dim
+    nq, nkv, f, L = cfg.n_heads * hd, cfg.n_kv_heads * hd, cfg.d_ff, cfg.n_layers
+
+    def w(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale,
+                           dtype=dtype)
+
+    params = {
+        "tok_embd": w(cfg.vocab_size, d),
+        "out_norm": jnp.ones((d,), dtype),
+        "layers": {
+            "attn_norm": jnp.ones((L, d), dtype),
+            "ffn_norm": jnp.ones((L, d), dtype),
+            "wq": w(L, d, nq),
+            "wk": w(L, d, nkv),
+            "wv": w(L, d, nkv),
+            "wo": w(L, nq, d),
+            "w_gate": w(L, d, f),
+            "w_up": w(L, d, f),
+            "w_down": w(L, f, d),
+        },
+    }
+    if not cfg.tied_lm_head:
+        params["lm_head"] = w(d, cfg.vocab_size)
+    return params
+
+
+def _project(x, w):
+    """x [..., K] @ w -> [..., N]; w dense [K, N] or [.., K, N]-sliced PackedWeight."""
+    return ops.qmatmul(x, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_copy(x, axis_name):
+    """Megatron 'f' operator: identity forward, psum backward.
+
+    Placed at the input of every column-parallel projection so the replicated
+    residual-stream cotangent stays replicated and TP gradients are exact
+    (each device otherwise backpropagates only its shard's partial cotangent).
+    """
+    return x
+
+
+def _tp_copy_fwd(x, axis_name):
+    return x, None
+
+
+def _tp_copy_bwd(axis_name, _, g):
+    return (jax.lax.psum(g, axis_name),)
+
+
+_tp_copy.defvjp(_tp_copy_fwd, _tp_copy_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_reduce(x, axis_name):
+    """Megatron 'g' operator: psum forward, identity backward.
+
+    A raw lax.psum under shard_map(check_rep=False) transposes to another psum,
+    which double-counts the (replicated) cotangent; the correct backward for a
+    row-parallel projection output is the identity."""
+    return jax.lax.psum(x, axis_name)
+
+
+def _tp_reduce_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _tp_reduce_bwd(axis_name, _, g):
+    return (g,)
+
+
+_tp_reduce.defvjp(_tp_reduce_fwd, _tp_reduce_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_gather(x, axis_name):
+    """all_gather along the last axis with the replicated-cotangent-correct
+    backward: each device takes its own slice (the default transpose,
+    psum_scatter, overcounts a replicated cotangent by tp under
+    check_rep=False)."""
+    return jax.lax.all_gather(x, axis_name, axis=x.ndim - 1, tiled=True)
+
+
+def _tp_gather_fwd(x, axis_name):
+    return _tp_gather(x, axis_name), x.shape[-1]
+
+
+def _tp_gather_bwd(axis_name, shard, g):
+    idx = jax.lax.axis_index(axis_name) * shard
+    return (jax.lax.dynamic_slice_in_dim(g, idx, shard, axis=g.ndim - 1),)
+
+
+_tp_gather.defvjp(_tp_gather_fwd, _tp_gather_bwd)
+
+
+def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
+                cos, sin, decode: bool, tp_axis: str | None = None,
+                tp_size: int = 1):
+    """One transformer block. x: [B, T, D]; cache_k/v: [B, Hkv_local, S, dh].
+
+    Returns (x_out, new_cache_k, new_cache_v).
+    ref: llama_transformer.zig:139-253 (training + cached forward).
+
+    Tensor parallelism (Megatron-style, a new capability vs the reference —
+    SURVEY.md §2.7): when `tp_axis` is set, this runs inside shard_map with
+    wq/wk/wv/w_gate/w_up column-sharded (local out-features), wo/w_down
+    row-sharded (local in-features), and the attention-output / FFN-down
+    projections partial-summed over the axis (psum rides the ICI).
+    """
+    b, t, d = x.shape
+    hd = cfg.head_dim
+    hq, hkv = cfg.n_heads // tp_size, cfg.n_kv_heads // tp_size
+
+    h = ops.rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps)
+    if tp_axis is not None:
+        h = _tp_copy(h, tp_axis)
+    q = _project(h, layer["wq"]).reshape(b, t, hq, hd).transpose(0, 2, 1, 3)
+    k = _project(h, layer["wk"]).reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+    v = _project(h, layer["wv"]).reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+
+    q = ops.rope_apply(q, cos, sin)
+    k = ops.rope_apply(k, cos, sin)
+
+    # write K/V into the cache at position `pos` (analog of sliceAssign with
+    # storage_offset patching, llama_inference.zig:450-453)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
+                                           (0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
+                                           (0, 0, pos, 0))
+
+    if decode:
+        att = ops.decode_attention(q, cache_k, cache_v, kv_len)
+    else:
+        att = ops.flash_attention(q, cache_k, cache_v, kv_len=kv_len, q_offset=pos)
+    att = att.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, hq * hd)
+    attn_out = _project(att, layer["wo"])
+    if tp_axis is not None:
+        attn_out = _tp_reduce(attn_out, tp_axis)
+    x = x + attn_out.astype(x.dtype)
+
+    h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+    if tp_axis is not None:
+        h = _tp_copy(h, tp_axis)
+    gate = _project(h, layer["w_gate"])
+    up = _project(h, layer["w_up"])
+    ff = refs.swiglu_ref(gate, up)
+    ff_out = _project(ff, layer["w_down"])
+    if tp_axis is not None:
+        ff_out = _tp_reduce(ff_out, tp_axis)
+    x = x + ff_out.astype(x.dtype)
+    return x, cache_k, cache_v
+
+
+class LlamaModel:
+    """Functional model wrapper: holds config + params, exposes pure forward fns.
+
+    The "plan" discipline of the reference (frozen graph + patched inputs,
+    llama_inference.zig:51-149) maps to jit-compiled `forward` with static
+    (B, T) shapes and donated caches — compiled once per shape bucket.
+    """
+
+    def __init__(self, cfg: LlamaConfig, params: dict):
+        self.cfg = cfg
+        self.params = params
+
+    # -- cache --------------------------------------------------------------
+    def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
+        c = self.cfg
+        shape = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    # -- forward ------------------------------------------------------------
+    def forward(self, params, tokens, cache, pos, tp_axis: str | None = None,
+                tp_size: int = 1):
+        """tokens [B, T] int32, pos: scalar int32 start position.
+
+        Returns (logits [B, T, V] f32, new_cache). kv_len = pos + T.
+        With tp_axis set (inside shard_map) params' projection weights and the
+        cache hold per-device shards; logits come back full (lm_head
+        column-sharded + all_gather over vocab shards).
+        """
+        cfg = self.cfg
+        b, t = tokens.shape
+        x = jnp.take(params["tok_embd"], tokens, axis=0)   # [B, T, D]
+        positions = pos + jnp.arange(t)
+        cos, sin = refs.rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
+        kv_len = pos + t
+        decode = t == 1
+
+        def body(x_carry, layer_and_cache):
+            layer, ck, cv = layer_and_cache
+            x_out, ck, cv = _layer_step(cfg, x_carry, layer, ck, cv, pos,
+                                        kv_len, cos, sin, decode,
+                                        tp_axis, tp_size)
+            return x_out, (ck, cv)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache["k"], cache["v"]))
+
+        x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
+        if tp_axis is not None:
+            x = _tp_copy(x, tp_axis)
+        lm_head = params.get("lm_head")
+        if lm_head is None:   # tied embeddings: logits = x @ embd.T
+            logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                                params["tok_embd"].astype(jnp.float32))
+        else:
+            logits = _project(x, lm_head)
+        if tp_axis is not None and lm_head is not None:
+            # lm_head is column(vocab)-sharded: gather shards -> full vocab
+            logits = _tp_gather(logits, tp_axis)
+        return logits.astype(jnp.float32), {"k": new_k, "v": new_v}

@@ -8,6 +8,8 @@ records which tier served it.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import Any
 
@@ -17,10 +19,26 @@ import jax.numpy as jnp
 from zgml_tpu.ops import refs
 from zgml_tpu.quant.repack import PackedWeight
 
+_force_ref: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "zgml_force_ref", default=False)
+
+
+@contextlib.contextmanager
+def force_ref():
+    """Route all ops to the differentiable jnp tier inside this trace context
+    (training paths use jax.grad; Pallas kernels carry no VJP yet)."""
+    tok = _force_ref.set(True)
+    try:
+        yield
+    finally:
+        _force_ref.reset(tok)
+
 
 def use_pallas() -> bool:
     """Pallas kernels are on by default; ZGML_TPU_KERNELS=ref forces the jnp oracle.
     In interpret mode (tests) Pallas still runs, interpreted."""
+    if _force_ref.get():
+        return False
     return os.environ.get("ZGML_TPU_KERNELS", "pallas") != "ref"
 
 

@@ -61,6 +61,29 @@ class PackedWeight:
     def nbytes(self) -> int:
         return int(self.qvals.nbytes + self.scales.nbytes)
 
+    def to_device(self, sharding=None):
+        """Upload qvals/scales as jax arrays (optionally with a NamedSharding)."""
+        import jax
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.numpy.asarray
+        return dataclasses.replace(self, qvals=put(self.qvals),
+                                   scales=put(self.scales))
+
+
+def _pw_flatten(pw: PackedWeight):
+    return (pw.qvals, pw.scales), (pw.kind, pw.n, pw.k, pw.n_pad, pw.k_pad)
+
+
+def _pw_unflatten(aux, children):
+    kind, n, k, n_pad, k_pad = aux
+    qvals, scales = children
+    return PackedWeight(kind, n, k, n_pad, k_pad, qvals, scales)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(PackedWeight, _pw_flatten, _pw_unflatten)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

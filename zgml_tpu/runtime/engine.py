@@ -1,0 +1,122 @@
+"""Inference engine: the TPU analog of LlamaInferenceSession/Plan.
+
+The reference freezes one forward graph per token_len (1 = decode, 128 =
+prefill) and patches inputs per step with zero per-step allocation
+(src/llama_inference.zig:51-149, 405-466). Here each (batch, token_len) bucket
+is one jit-compiled function with static shapes and a donated KV cache — XLA's
+equivalent of the frozen plan — compiled once, then executed with only a token
+id crossing the host boundary per decode step.
+
+Chunked prefill mirrors session.prefill (llama_inference.zig:697-727): full
+`prefill_chunk`-token windows through the prefill bucket, the padded tail
+through the same bucket with kv_len masking (instead of the reference's
+step-loop tail).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zgml_tpu.models.llama import LlamaConfig, LlamaModel
+from zgml_tpu.runtime.profile import global_profile
+from zgml_tpu.runtime.sampling import SamplingParams, sample
+
+
+class LlamaEngine:
+    """Single-model inference session with KV cache and shape-bucketed plans."""
+
+    def __init__(self, model: LlamaModel, batch: int = 1,
+                 prefill_chunk: int = 128, cache_dtype=jnp.bfloat16,
+                 sampling: SamplingParams = SamplingParams(),
+                 donate_cache: bool = True):
+        self.model = model
+        self.cfg = model.cfg
+        self.batch = batch
+        self.prefill_chunk = min(prefill_chunk, model.cfg.max_seq_len)
+        self.sampling = sampling
+        self.cache = model.init_cache(batch, cache_dtype)
+        self.pos = 0
+        self.key = jax.random.PRNGKey(0)
+        donate = (2,) if donate_cache else ()
+
+        # decode plan: tokens [B,1] -> (next_token [B], logits [B,V], cache)
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def _decode_step(params, tokens, cache, pos, key):
+            logits, cache = model.forward(params, tokens, cache, pos)
+            tok = sample(logits[:, -1], self.sampling, key)
+            return tok, logits[:, -1], cache
+
+        # prefill plan: tokens [B,C] -> (logits at last valid [B,V], cache)
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def _prefill_chunk(params, tokens, cache, pos, n_valid):
+            logits, cache = model.forward(params, tokens, cache, pos)
+            last = logits[:, n_valid - 1]      # dynamic index into [B,C,V]
+            return last, cache
+
+        self._decode_step = _decode_step
+        self._prefill_chunk = _prefill_chunk
+
+    # -- session api (ref: llama_inference.zig:479-764) ----------------------
+    def reset(self):
+        """Rewind to position 0. Cache contents beyond kv_len are never read,
+        so no zeroing is needed (ref zeroes, :596-604)."""
+        self.pos = 0
+
+    def prefill(self, tokens: np.ndarray | list[int]) -> jax.Array:
+        """Process a prompt; returns last-token logits [B, V].
+
+        tokens: [T] (batch 1) or [B, T].
+        """
+        tokens = np.atleast_2d(np.asarray(tokens, np.int32))
+        b, t = tokens.shape
+        assert b == self.batch, f"engine compiled for batch {self.batch}, got {b}"
+        if self.pos + t > self.cfg.max_seq_len:
+            raise ValueError("SequenceTooLong")  # ref: llama_inference.zig:682
+        chunk = self.prefill_chunk
+        last = None
+        with global_profile.phase("prefill"):
+            for i in range(0, t, chunk):
+                window = tokens[:, i:i + chunk]
+                n_valid = window.shape[1]
+                if n_valid < chunk:
+                    window = np.pad(window, ((0, 0), (0, chunk - n_valid)))
+                last, self.cache = self._prefill_chunk(
+                    self.model.params, jnp.asarray(window), self.cache,
+                    self.pos, n_valid)
+                self.pos += n_valid
+        global_profile.add("prefill_tokens", int(t) * b)
+        return last
+
+    def step(self, tokens: np.ndarray | list[int] | jax.Array) -> tuple[jax.Array, jax.Array]:
+        """One decode step. tokens: [B] last generated ids.
+
+        Returns (next_token [B], logits [B, V]).
+        """
+        if self.pos + 1 > self.cfg.max_seq_len:
+            raise ValueError("SequenceTooLong")
+        tok = jnp.asarray(tokens, jnp.int32).reshape(self.batch, 1)
+        self.key, sub = jax.random.split(self.key)
+        with global_profile.phase("decode"):
+            nxt, logits, self.cache = self._decode_step(
+                self.model.params, tok, self.cache, self.pos, sub)
+        self.pos += 1
+        global_profile.add("decode_tokens", self.batch)
+        return nxt, logits
+
+    def generate(self, prompt: np.ndarray | list[int], max_new_tokens: int,
+                 stop_ids: tuple[int, ...] = ()) -> list[int]:
+        """Greedy/sampled autoregressive generation (batch 1 convenience)."""
+        last_logits = self.prefill(prompt)
+        self.key, sub = jax.random.split(self.key)
+        tok = sample(last_logits, self.sampling, sub)
+        out = [int(tok[0])]
+        for _ in range(max_new_tokens - 1):
+            if out[-1] in stop_ids:
+                break
+            tok, _ = self.step(tok)
+            out.append(int(tok[0]))
+        return out
