@@ -1,0 +1,57 @@
+"""On-device decode loop and sampling tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.io.llama_loader import load_llama
+from zgml_tpu.runtime.engine import LlamaEngine
+from zgml_tpu.runtime.sampling import SamplingParams, sample
+from zgml_tpu.utils.synthetic import TINY_TEST, write_synthetic_llama_gguf
+from zgml_tpu.io.gguf import GGMLType
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "t.gguf"
+    write_synthetic_llama_gguf(str(path), TINY_TEST, GGMLType.Q8_0, seed=3)
+    m, _ = load_llama(str(path), mode="dense")
+    return m
+
+
+def test_decode_n_matches_step_loop(model):
+    """decode_n (one on-device scan) must produce the same tokens as the
+    per-step host loop (greedy)."""
+    eng1 = LlamaEngine(model, donate_cache=False)
+    eng1.prefill([1, 2, 3])
+    tok, _ = eng1.step(np.array([7]))
+    seq = [int(tok[0])]
+    for _ in range(5):
+        tok, _ = eng1.step(tok)
+        seq.append(int(tok[0]))
+
+    eng2 = LlamaEngine(model, donate_cache=False)
+    eng2.prefill([1, 2, 3])
+    tok, _ = eng2.step(np.array([7]))
+    toks = eng2.decode_n(tok, 5)
+    seq2 = [int(tok[0])] + [int(t) for t in np.asarray(toks)[:, 0]]
+    assert seq == seq2
+    assert eng1.pos == eng2.pos
+
+
+def test_sampling_modes():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[1.0, 5.0, 2.0, 0.1]])
+    assert int(sample(logits, SamplingParams(), key)[0]) == 1  # greedy
+    t = sample(logits, SamplingParams(temperature=0.7, top_k=2), key)
+    assert int(t[0]) in (1, 2)
+    t = sample(logits, SamplingParams(temperature=0.5, top_p=0.5), key)
+    assert int(t[0]) == 1  # top-p 0.5 keeps only the argmax here
+
+
+def test_sampling_top_p_distribution():
+    key = jax.random.PRNGKey(1)
+    logits = jnp.tile(jnp.asarray([[3.0, 3.0, -10.0, -10.0]]), (256, 1))
+    toks = np.asarray(sample(logits, SamplingParams(temperature=1.0, top_p=0.9),
+                             key))
+    assert set(np.unique(toks)) <= {0, 1}

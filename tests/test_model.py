@@ -46,7 +46,8 @@ def test_forward_shapes(dense_model):
     logits, cache2 = model.forward(model.params, tokens, cache, 0)
     assert logits.shape == (1, 4, model.cfg.vocab_size)
     assert not np.any(np.isnan(np.asarray(logits)))
-    assert cache2["k"].shape == cache["k"].shape
+    assert len(cache2["k"]) == len(cache["k"])
+    assert cache2["k"][0].shape == cache["k"][0].shape
 
 
 def test_prefill_matches_sequential_decode(dense_model):
@@ -81,7 +82,7 @@ def test_quantized_close_to_dense(tiny_gguf, dense_model):
     qmodel, _ = load_llama(tiny_gguf, mode="quantized")
     # quantized path must actually use PackedWeight
     from zgml_tpu.quant.repack import PackedWeight
-    assert isinstance(qmodel.params["layers"]["wq"], PackedWeight)
+    assert isinstance(qmodel.params["layers"][0]["wq"], PackedWeight)
     toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
     ld, _ = dense_model.forward(dense_model.params, toks,
                                 dense_model.init_cache(1), 0)

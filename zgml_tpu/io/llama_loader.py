@@ -84,21 +84,36 @@ def _stack_packed(pws: list[PackedWeight]) -> PackedWeight:
         scales=jnp.asarray(np.stack([np.asarray(p.scales) for p in pws])))
 
 
-def _load_matmul(gf: GGUFFile, name: str, mode: str, dtype):
+def _load_matmul(gf: GGUFFile, name: str, mode: str, dtype, **repack_kw):
     """Load one [N, K] matmul weight as PackedWeight or dense K-major [K, N]."""
     info = gf.tensors[name]
     kind = _QUANT_KINDS.get(info.ggml_type)
     if mode == "quantized" and kind is not None:
         n, k = info.np_shape
-        return repack_gguf_tensor(kind, gf.tensor_raw(name), n, k)
+        return repack_gguf_tensor(kind, gf.tensor_raw(name), n, k, **repack_kw)
     w = gf.tensor_f32(name)                      # [N, K]
     return jnp.asarray(np.ascontiguousarray(w.T), dtype)  # K-major [K, N]
 
 
+def _load_fused(gf: GGUFFile, names: list[str], mode: str, dtype):
+    """Load several same-input weights fused along the out axis (one launch)."""
+    from zgml_tpu.quant.repack import concat_packed
+    parts = [_load_matmul(gf, nm, mode, dtype, n_align=1) for nm in names]
+    if isinstance(parts[0], PackedWeight):
+        return concat_packed(parts)
+    return jnp.concatenate(parts, axis=1)
+
+
 def load_llama(path: str, mode: str = "quantized",
-               dtype=jnp.float32, max_seq_len: int | None = None
-               ) -> tuple[LlamaModel, GGUFFile]:
+               dtype=jnp.float32, max_seq_len: int | None = None,
+               stack_layers: bool = False,
+               fuse: bool = True) -> tuple[LlamaModel, GGUFFile]:
     """Load a llama-architecture GGUF. Returns (model, parsed file).
+
+    stack_layers=False (default) keeps per-layer dicts in a list — the unrolled
+    inference layout where weights feed Pallas kernels with no per-layer
+    gather. stack_layers=True stacks leaves along a leading layer axis for the
+    lax.scan / tensor-parallel path (training, dryrun).
 
     The parsed GGUFFile is returned so callers can build the tokenizer from its
     metadata (BPETokenizer.from_gguf).
@@ -109,17 +124,38 @@ def load_llama(path: str, mode: str = "quantized",
         cfg = dataclasses.replace(cfg, max_seq_len=max_seq_len)
     L = cfg.n_layers
 
-    layers: dict[str, object] = {}
-    for key, suffix in _LAYER_NORMS.items():
-        layers[key] = jnp.asarray(np.stack(
-            [gf.tensor_f32(f"blk.{i}.{suffix}") for i in range(L)]), dtype)
-    for key, suffix in _LAYER_MATMULS.items():
-        per_layer = [_load_matmul(gf, f"blk.{i}.{suffix}", mode, dtype)
-                     for i in range(L)]
-        if isinstance(per_layer[0], PackedWeight):
-            layers[key] = _stack_packed(per_layer)
+    per_layer: list[dict] = []
+    for i in range(L):
+        layer: dict[str, object] = {}
+        for key, suffix in _LAYER_NORMS.items():
+            layer[key] = jnp.asarray(gf.tensor_f32(f"blk.{i}.{suffix}"), dtype)
+        if fuse and not stack_layers:
+            # fused projections: fewer, larger kernel launches per token
+            layer["wqkv"] = _load_fused(
+                gf, [f"blk.{i}.attn_q.weight", f"blk.{i}.attn_k.weight",
+                     f"blk.{i}.attn_v.weight"], mode, dtype)
+            layer["w_gate_up"] = _load_fused(
+                gf, [f"blk.{i}.ffn_gate.weight", f"blk.{i}.ffn_up.weight"],
+                mode, dtype)
+            layer["wo"] = _load_matmul(gf, f"blk.{i}.attn_output.weight",
+                                       mode, dtype)
+            layer["w_down"] = _load_matmul(gf, f"blk.{i}.ffn_down.weight",
+                                           mode, dtype)
         else:
-            layers[key] = jnp.stack(per_layer)
+            for key, suffix in _LAYER_MATMULS.items():
+                layer[key] = _load_matmul(gf, f"blk.{i}.{suffix}", mode, dtype)
+        per_layer.append(layer)
+
+    if stack_layers:
+        layers: object = {}
+        for key in per_layer[0]:
+            leaves = [lyr[key] for lyr in per_layer]
+            if isinstance(leaves[0], PackedWeight):
+                layers[key] = _stack_packed(leaves)
+            else:
+                layers[key] = jnp.stack(leaves)
+    else:
+        layers = per_layer
 
     params = {
         "tok_embd": jnp.asarray(gf.tensor_f32("token_embd.weight"), dtype),

@@ -181,9 +181,19 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     h = ops.rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps)
     if tp_axis is not None:
         h = _tp_copy(h, tp_axis)
-    q = _project(h, layer["wq"]).reshape(b, t, hq, hd).transpose(0, 2, 1, 3)
-    k = _project(h, layer["wk"]).reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
-    v = _project(h, layer["wv"]).reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+    if "wqkv" in layer:
+        # fused single-launch QKV projection (ref: GPT packed w_qkv,
+        # src/models/gpt.zig; Metal projection groups, program.zig:980-1485)
+        nq, nkv = hq * hd, hkv * hd
+        qkv = _project(h, layer["wqkv"])
+        q = qkv[..., :nq].reshape(b, t, hq, hd).transpose(0, 2, 1, 3)
+        k = qkv[..., nq:nq + nkv].reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+        v = qkv[..., nq + nkv:nq + 2 * nkv].reshape(b, t, hkv, hd
+                                                    ).transpose(0, 2, 1, 3)
+    else:
+        q = _project(h, layer["wq"]).reshape(b, t, hq, hd).transpose(0, 2, 1, 3)
+        k = _project(h, layer["wk"]).reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+        v = _project(h, layer["wv"]).reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
 
     q = ops.rope_apply(q, cos, sin)
     k = ops.rope_apply(k, cos, sin)
@@ -208,8 +218,13 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
     if tp_axis is not None:
         h = _tp_copy(h, tp_axis)
-    gate = _project(h, layer["w_gate"])
-    up = _project(h, layer["w_up"])
+    if "w_gate_up" in layer:
+        gu = _project(h, layer["w_gate_up"])
+        f = gu.shape[-1] // 2
+        gate, up = gu[..., :f], gu[..., f:]
+    else:
+        gate = _project(h, layer["w_gate"])
+        up = _project(h, layer["w_up"])
     ff = refs.swiglu_ref(gate, up)
     ff_out = _project(ff, layer["w_down"])
     if tp_axis is not None:
@@ -232,9 +247,15 @@ class LlamaModel:
 
     # -- cache --------------------------------------------------------------
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
+        """KV cache matching the params layout: per-layer lists when layers are
+        unrolled, stacked [L, ...] arrays when layers are stacked (scan)."""
         c = self.cfg
-        shape = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
+        if isinstance(self.params.get("layers"), (list, tuple)):
+            return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],
+                    "v": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)]}
+        full = (c.n_layers,) + shape
+        return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
 
     # -- forward ------------------------------------------------------------
     def forward(self, params, tokens, cache, pos, tp_axis: str | None = None,
@@ -254,15 +275,33 @@ class LlamaModel:
         kv_len = pos + t
         decode = t == 1
 
-        def body(x_carry, layer_and_cache):
-            layer, ck, cv = layer_and_cache
-            x_out, ck, cv = _layer_step(cfg, x_carry, layer, ck, cv, pos,
-                                        kv_len, cos, sin, decode,
-                                        tp_axis, tp_size)
-            return x_out, (ck, cv)
+        layers = params["layers"]
+        if isinstance(layers, (list, tuple)):
+            # unrolled: weights feed the Pallas kernels directly with no
+            # per-step gather/copy (a scan would dynamic-slice each layer's
+            # weights, and slices feeding a custom call must materialize —
+            # tripling weight traffic). Cache is per-layer lists so donation
+            # aliases each leaf with no re-stack copies. Inference default.
+            ks, vs = [], []
+            for i, layer in enumerate(layers):
+                x, ck, cv = _layer_step(cfg, x, layer, cache["k"][i],
+                                        cache["v"][i], pos, kv_len, cos, sin,
+                                        decode, tp_axis, tp_size)
+                ks.append(ck)
+                vs.append(cv)
+            new_k, new_v = ks, vs
+        else:
+            # stacked + lax.scan: one compiled block regardless of depth.
+            # Training/dryrun default (compile time over per-step perf).
+            def body(x_carry, layer_and_cache):
+                layer, ck, cv = layer_and_cache
+                x_out, ck, cv = _layer_step(cfg, x_carry, layer, ck, cv, pos,
+                                            kv_len, cos, sin, decode,
+                                            tp_axis, tp_size)
+                return x_out, (ck, cv)
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache["k"], cache["v"]))
+            x, (new_k, new_v) = jax.lax.scan(
+                body, x, (layers, cache["k"], cache["v"]))
 
         x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
         if tp_axis is not None:

@@ -137,7 +137,7 @@ def _round_up(v: int, m: int) -> int:
 
 
 def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
-                   bn: int = 256, bk: int = 256,
+                   bn: int = 1024, bk: int = 512,
                    out_dtype=jnp.float32) -> jax.Array:
     """x [..., K] @ dequant(W)[K, N] -> [..., N] via the fused Pallas kernel.
 
@@ -151,15 +151,16 @@ def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
     m_pad = max(8, _round_up(m, 8))
     if k < pw.k_pad or m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, pw.k_pad - k)))
-    # choose tile sizes that divide the padded dims
-    bn_eff = bn if pw.n_pad % bn == 0 else _largest_divisor(pw.n_pad, bn)
+    # choose tile sizes that divide the padded dims and satisfy Mosaic's
+    # block constraints (scales sublane dim bk/32 must be 8-divisible or full)
+    bn_eff = _choose_tile(pw.n_pad, bn, mult=128)
     if pw.kind == "q8_0":
-        bk_eff = bk if pw.k_pad % bk == 0 else _largest_divisor(pw.k_pad, bk)
+        bk_eff = _choose_tile(pw.k_pad, bk, mult=256)
         out = _q8_matmul(x2, pw.qvals, pw.scales, bn=bn_eff, bk=bk_eff,
                          out_dtype=out_dtype)
     elif pw.kind == "q4_0":
         kh = pw.k_pad // 2
-        bk_eff = bk if kh % bk == 0 else _largest_divisor(kh, bk)
+        bk_eff = _choose_tile(kh, bk, mult=256)
         out = _q4_matmul(x2, pw.qvals, pw.scales, bn=bn_eff, bk=bk_eff,
                          out_dtype=out_dtype)
     else:
@@ -167,9 +168,10 @@ def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
     return out[:m, : pw.n].reshape(*lead, pw.n)
 
 
-def _largest_divisor(total: int, limit: int) -> int:
-    """Largest multiple-of-128 (or the full dim) divisor of `total` that is <= limit."""
-    for cand in range(min(limit, total), 0, -128):
-        if cand % 128 == 0 and total % cand == 0:
+def _choose_tile(total: int, limit: int, mult: int) -> int:
+    """Largest multiple-of-`mult` divisor of `total` that is <= limit; falls
+    back to the full dim (always legal: block == array dim)."""
+    for cand in range(min(limit, total) // mult * mult, 0, -mult):
+        if total % cand == 0:
             return cand
     return total

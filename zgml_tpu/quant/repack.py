@@ -89,6 +89,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tile_friendly_pad(x: int, max_waste_frac: float = 0.08) -> int:
+    """Pad a dim so it divides cleanly by a large kernel tile.
+
+    Prefers 1024-multiples (best DMA/tile shape), falling back to 512/256/128
+    when 1024 would waste more than ~max_waste_frac of the dim. E.g.
+    11008 -> 11264 (bn=1024, +2.3%), 576 -> 640 (bn=640? no — 768, bn=768),
+    49152 -> 49152.
+    """
+    for align in (1024, 512, 256, 128):
+        p = _round_up(x, align)
+        if p - x <= max(align // 4, max_waste_frac * x):
+            return p
+    return _round_up(x, 128)
+
+
 def _pad_nk(a: np.ndarray, k_pad: int, n_pad: int, fill=0) -> np.ndarray:
     """Pad a [K-like, N] array up to [k_pad, n_pad]."""
     kk, nn = a.shape
@@ -100,8 +115,13 @@ def _pad_nk(a: np.ndarray, k_pad: int, n_pad: int, fill=0) -> np.ndarray:
 
 
 def repack_q8_0(raw: bytes | np.ndarray, n: int, k: int,
-                n_align: int = 256, k_align: int = 256) -> PackedWeight:
-    """Raw GGUF Q8_0 bytes for an [N, K] weight -> planar K-major TPU layout."""
+                n_align: int | None = None, k_align: int | None = None
+                ) -> PackedWeight:
+    """Raw GGUF Q8_0 bytes for an [N, K] weight -> planar K-major TPU layout.
+
+    Default padding is tile-friendly (see _tile_friendly_pad) so the kernel can
+    run its preferred large tiles.
+    """
     if k % QK != 0:
         raise ValueError(f"K={k} not divisible by {QK}")
     buf = np.frombuffer(bytes(raw) if not isinstance(raw, np.ndarray) else raw.tobytes(),
@@ -110,22 +130,23 @@ def repack_q8_0(raw: bytes | np.ndarray, n: int, k: int,
     blk = buf[: n_blocks * Q8_0_BLOCK_BYTES].reshape(n_blocks, Q8_0_BLOCK_BYTES)
     scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
     qvals = blk[:, 2:].copy().view(np.int8).reshape(n, k)
-    n_pad, k_pad = _round_up(n, n_align), _round_up(k, k_align)
+    n_pad = _tile_friendly_pad(n) if n_align is None else _round_up(n, n_align)
+    k_pad = _round_up(_tile_friendly_pad(k) if k_align is None
+                      else _round_up(k, k_align), QK)
     return PackedWeight("q8_0", n, k, n_pad, k_pad,
                         _pad_nk(np.ascontiguousarray(qvals.T), k_pad, n_pad),
                         _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
 
 
 def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
-                n_align: int = 256, k_align: int = 512) -> PackedWeight:
+                n_align: int | None = None, k_align: int | None = None
+                ) -> PackedWeight:
     """Raw GGUF Q4_0 bytes for an [N, K] weight -> planar half-split K-major layout.
 
-    k_align must be a multiple of 2*QK so both K-halves stay 32-block-aligned.
+    k_pad is forced to a multiple of 2*QK so both K-halves stay 32-block-aligned.
     """
     if k % QK != 0:
         raise ValueError(f"K={k} not divisible by {QK}")
-    if k_align % (2 * QK) != 0:
-        raise ValueError(f"k_align={k_align} must be a multiple of {2*QK}")
     buf = np.frombuffer(bytes(raw) if not isinstance(raw, np.ndarray) else raw.tobytes(),
                         dtype=np.uint8)
     n_blocks = n * k // QK
@@ -137,12 +158,43 @@ def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
     w[:, :16] = nib & 0x0F
     w[:, 16:] = nib >> 4
     w = w.reshape(n, k)
-    n_pad, k_pad = _round_up(n, n_align), _round_up(k, k_align)
+    n_pad = _tile_friendly_pad(n) if n_align is None else _round_up(n, n_align)
+    # 512-multiple K so each half is a 256-multiple -> scale blocks stay
+    # 8-sublane-aligned for any legal bk
+    k_pad = _round_up(_tile_friendly_pad(k) if k_align is None
+                      else _round_up(k, k_align), 512)
     wp = _pad_nk(np.ascontiguousarray(w.T), k_pad, n_pad, fill=8)  # nibble 8 == 0
     half = k_pad // 2
     packed = (wp[:half] | (wp[half:] << 4)).astype(np.uint8).view(np.int8)
     return PackedWeight("q4_0", n, k, n_pad, k_pad, packed,
                         _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
+
+
+def concat_packed(pws: list[PackedWeight]) -> PackedWeight:
+    """Fuse weights that share an input (e.g. Q/K/V, gate/up) into one
+    PackedWeight along the out-feature axis, so one kernel launch serves all
+    (the analog of zgml-GPT's packed w_qkv single GEMM, src/models/gpt.zig,
+    and the Metal projection-group batching, program.zig:980-1485).
+
+    Requires same kind and K. Each input must be unpadded along N
+    (n == n_pad), i.e. repacked with n_align=1; the result is re-padded
+    tile-friendly. Output columns [sum n_i] keep the input order, so callers
+    split activations at the logical boundaries.
+    """
+    first = pws[0]
+    for pw in pws:
+        if pw.kind != first.kind or pw.k_pad != first.k_pad:
+            raise ValueError("concat_packed: mismatched kind/K")
+        if pw.n != pw.n_pad:
+            raise ValueError("concat_packed: inputs must be N-unpadded "
+                             "(repack with n_align=1)")
+    qvals = np.concatenate([np.asarray(p.qvals) for p in pws], axis=1)
+    scales = np.concatenate([np.asarray(p.scales) for p in pws], axis=1)
+    n = qvals.shape[1]
+    n_pad = _tile_friendly_pad(n)
+    return PackedWeight(first.kind, n, first.k, n_pad, first.k_pad,
+                        _pad_nk(qvals, qvals.shape[0], n_pad),
+                        _pad_nk(scales, scales.shape[0], n_pad))
 
 
 def repack_gguf_tensor(kind: str, raw: bytes | np.ndarray, n: int, k: int,

@@ -57,8 +57,28 @@ class LlamaEngine:
             last = logits[:, n_valid - 1]      # dynamic index into [B,C,V]
             return last, cache
 
+        # on-device multi-token decode: the whole generate loop (forward +
+        # sampling) runs as one lax.scan dispatch, so the host syncs once per
+        # N tokens instead of per token (SURVEY.md §7: decode is
+        # dispatch-latency-dominated; zgml needed 7.5k lines of command-stream
+        # fusion for this — here it is one scan).
+        @functools.partial(jax.jit, static_argnames=("n_steps",),
+                           donate_argnums=(2,))
+        def _decode_scan(params, tok0, cache, pos0, key, n_steps):
+            def body(carry, _):
+                tok, cache, pos, key = carry
+                logits, cache = model.forward(params, tok[:, None], cache, pos)
+                key, sub = jax.random.split(key)
+                nxt = sample(logits[:, -1], self.sampling, sub)
+                return (nxt, cache, pos + 1, key), nxt
+
+            (tok, cache, pos, key), toks = jax.lax.scan(
+                body, (tok0, cache, pos0, key), length=n_steps)
+            return toks, cache  # toks: [n_steps, B]
+
         self._decode_step = _decode_step
         self._prefill_chunk = _prefill_chunk
+        self._decode_scan = _decode_scan
 
     # -- session api (ref: llama_inference.zig:479-764) ----------------------
     def reset(self):
@@ -106,6 +126,24 @@ class LlamaEngine:
         self.pos += 1
         global_profile.add("decode_tokens", self.batch)
         return nxt, logits
+
+    def decode_n(self, tokens, n_steps: int) -> jax.Array:
+        """Generate n_steps tokens in ONE device dispatch (on-device loop).
+
+        tokens: [B] ids to feed first. Returns [n_steps, B] generated ids.
+        Position bookkeeping matches n_steps sequential `step()` calls.
+        """
+        if self.pos + n_steps > self.cfg.max_seq_len:
+            raise ValueError("SequenceTooLong")
+        tok0 = jnp.asarray(tokens, jnp.int32).reshape(self.batch)
+        self.key, sub = jax.random.split(self.key)
+        with global_profile.phase("decode_scan"):
+            toks, self.cache = self._decode_scan(
+                self.model.params, tok0, self.cache, self.pos, sub,
+                n_steps=n_steps)
+        self.pos += n_steps
+        global_profile.add("decode_tokens", n_steps * self.batch)
+        return toks
 
     def generate(self, prompt: np.ndarray | list[int], max_new_tokens: int,
                  stop_ids: tuple[int, ...] = ()) -> list[int]:
