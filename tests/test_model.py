@@ -82,7 +82,7 @@ def test_quantized_close_to_dense(tiny_gguf, dense_model):
     qmodel, _ = load_llama(tiny_gguf, mode="quantized")
     # quantized path must actually use PackedWeight
     from zgml_tpu.quant.repack import PackedWeight
-    assert isinstance(qmodel.params["layers"][0]["wq"], PackedWeight)
+    assert isinstance(qmodel.params["layers"][0]["wqkv"], PackedWeight)
     toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
     ld, _ = dense_model.forward(dense_model.params, toks,
                                 dense_model.init_cache(1), 0)
