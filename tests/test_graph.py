@@ -1,0 +1,137 @@
+"""Graph IR tests: lowering correctness, fusion detection, autodiff.
+
+Mirrors the reference's graph/autodiff test strategy (SURVEY.md §4.1-4.2):
+per-op checks vs explicit formulas, analytic-gradient checks, fusion on/off
+equivalence.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.graph import ComputeGraph, LazyTensor, Op, var, const
+from zgml_tpu.graph.graph import topo_order
+
+
+def test_build_and_shapes():
+    x = var("x", (4, 8))
+    w = var("w", (8, 16))
+    y = x.matmul(w).relu().sum()
+    assert y.shape == ()
+    order = topo_order([y])
+    assert order[-1] is y
+    with pytest.raises(ValueError):
+        x.matmul(var("bad", (4, 4)))  # inner-dim mismatch at build time
+    with pytest.raises(ValueError):
+        x.reshape(5, 5)
+
+
+def test_forward_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 8)).astype(np.float32)
+    b = rng.standard_normal((4, 8)).astype(np.float32)
+    x, y = var("x", (4, 8)), var("y", (4, 8))
+    z = (x * y + x).silu().sum(axis=1)
+    g = ComputeGraph(z)
+    out = np.asarray(g.run(x=a, y=b))
+    t = a * b + a
+    want = (t / (1 + np.exp(-t))).sum(1)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fusion_detects_chain():
+    x = var("x", (8, 8))
+    y = x.neg().exp().scale(2.0).relu()   # 4-op chain
+    g = ComputeGraph(y)
+    assert g.fusion is not None
+    assert len(g.fusion.chains) == 1
+    assert len(g.fusion.chains[0].nodes) == 4
+
+
+def test_fusion_on_off_equivalence():
+    """ref: fusion on/off equivalence (SURVEY.md §4.3)."""
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((16, 32)).astype(np.float32)
+    b = rng.standard_normal((16, 32)).astype(np.float32)
+    x, y = var("x", (16, 32)), var("y", (16, 32))
+    z = (x.exp().mul(y).add(x).tanh()).sum()
+    out_f = np.asarray(ComputeGraph(z, fuse=True).run(x=a, y=b))
+    out_n = np.asarray(ComputeGraph(z, fuse=False).run(x=a, y=b))
+    np.testing.assert_allclose(out_f, out_n, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_consumer_blocks_fusion():
+    x = var("x", (4, 4))
+    e = x.exp()
+    y = e.mul(e.neg())   # e has two consumers -> not a simple chain head
+    g = ComputeGraph(y)
+    for c in (g.fusion.chains if g.fusion else []):
+        assert e not in c.nodes[:-1]
+
+
+def test_grad_simple():
+    # d/dx sum(x^2 * 3) = 6x
+    x = var("x", (5,))
+    y = x.sqr().scale(3.0).sum()
+    g = ComputeGraph(y)
+    a = np.arange(5, dtype=np.float32)
+    grads = g.grad(["x"])(x=a)
+    np.testing.assert_allclose(np.asarray(grads["x"]), 6 * a, rtol=1e-5)
+
+
+def test_grad_matmul_and_softmax():
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    w0 = rng.standard_normal((4, 2)).astype(np.float32)
+    tgt = np.asarray([1, 0, 1], np.int32)
+    x, w, t = var("x", (3, 4)), var("w", (4, 2)), var("t", (3,), np.int32)
+    loss = x.matmul(w).cross_entropy(t)
+    g = ComputeGraph(loss)
+    val, grads = g.value_and_grad(["w"])(x=a, w=w0, t=tgt)
+    # finite-difference check
+    eps = 1e-3
+    gw = np.asarray(grads["w"])
+    fn = g.compile()
+    for i in (0, 1):
+        for j in (0, 1):
+            wp = w0.copy(); wp[i, j] += eps
+            wm = w0.copy(); wm[i, j] -= eps
+            fd = (float(fn(a, wp, tgt)) - float(fn(a, wm, tgt))) / (2 * eps)
+            assert abs(fd - gw[i, j]) < 1e-2, (i, j, fd, gw[i, j])
+
+
+def test_attention_node_and_grad():
+    """The reference panics on attention backward (backward.zig:393-404);
+    here it must just work."""
+    rng = np.random.default_rng(3)
+    qv = rng.standard_normal((1, 4, 8)).astype(np.float32)
+    kv = rng.standard_normal((1, 4, 8)).astype(np.float32)
+    vv = rng.standard_normal((1, 4, 8)).astype(np.float32)
+    q, k, v = var("q", (1, 4, 8)), var("k", (1, 4, 8)), var("v", (1, 4, 8))
+    y = q.attention(k, v, causal=True).sum()
+    g = ComputeGraph(y)
+    grads = g.grad(["q", "k", "v"])(q=qv, k=kv, v=vv)
+    for key in ("q", "k", "v"):
+        assert np.isfinite(np.asarray(grads[key])).all()
+
+
+def test_composites_match_jnp():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((6, 10)).astype(np.float32)
+    gm = rng.standard_normal(10).astype(np.float32)
+    x, gvar = var("x", (6, 10)), var("g", (10,))
+    out = ComputeGraph(x.rms_norm(gvar, 1e-5)).run(x=a, g=gm)
+    from zgml_tpu.ops import refs
+    want = refs.rmsnorm_ref(jnp.asarray(a), jnp.asarray(gm), 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_report_and_dot():
+    x = var("x", (4, 4))
+    y = x.exp().relu().sum()
+    g = ComputeGraph(y)
+    rep = g.report()
+    assert "nodes" in rep and "chains" in rep
+    dot = g.to_dot()
+    assert dot.startswith("digraph") and "exp" in dot
