@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--pp", type=int, default=128, help="prefill tokens")
     ap.add_argument("--tg", type=int, default=200, help="decode tokens")
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
+                    help="KV cache dtype")
     args = ap.parse_args()
 
     import dataclasses
@@ -77,7 +79,10 @@ def main():
         f"(cfg: d={cfg.d_model} L={cfg.n_layers} heads={cfg.n_heads}/"
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")
 
-    eng = LlamaEngine(model, batch=1, prefill_chunk=min(args.pp, 128))
+    import jax.numpy as jnp
+    cache_dtype = "int8" if args.kv == "int8" else jnp.bfloat16
+    eng = LlamaEngine(model, batch=1, prefill_chunk=min(args.pp, 128),
+                      cache_dtype=cache_dtype)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, args.pp).astype(np.int32)
 

@@ -198,17 +198,35 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     q = ops.rope_apply(q, cos, sin)
     k = ops.rope_apply(k, cos, sin)
 
-    # write K/V into the cache at position `pos` (analog of sliceAssign with
-    # storage_offset patching, llama_inference.zig:450-453)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
-                                           (0, 0, pos, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
-                                           (0, 0, pos, 0))
-
-    if decode:
-        att = ops.decode_attention(q, cache_k, cache_v, kv_len)
+    if isinstance(cache_k, tuple):
+        # int8 quantized KV cache: (k_q, k_s) / (v_q, v_s) d-major slabs
+        from zgml_tpu.quant.kv_cache import (dequantize_cache,
+                                             quantize_columns, write_columns)
+        kq_new, ks_new = quantize_columns(k)
+        vq_new, vs_new = quantize_columns(v)
+        cache_k = write_columns(cache_k[0], cache_k[1], kq_new, ks_new, pos)
+        cache_v = write_columns(cache_v[0], cache_v[1], vq_new, vs_new, pos)
+        if decode:
+            att = ops.decode_attention_q8(q, cache_k[0], cache_k[1],
+                                          cache_v[0], cache_v[1], kv_len)
+        else:
+            # prefill: dequantize the cache (XLA) and run flash; transient
+            # f32 copy is per-layer and amortized over the chunk
+            kf = dequantize_cache(cache_k[0], cache_k[1])
+            vf = dequantize_cache(cache_v[0], cache_v[1])
+            att = ops.flash_attention(q, kf, vf, kv_len=kv_len, q_offset=pos)
     else:
-        att = ops.flash_attention(q, cache_k, cache_v, kv_len=kv_len, q_offset=pos)
+        # write K/V into the cache at position `pos` (analog of sliceAssign
+        # with storage_offset patching, llama_inference.zig:450-453)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, 0, pos, 0))
+        if decode:
+            att = ops.decode_attention(q, cache_k, cache_v, kv_len)
+        else:
+            att = ops.flash_attention(q, cache_k, cache_v, kv_len=kv_len,
+                                      q_offset=pos)
     att = att.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, hq * hd)
     attn_out = _project(att, layer["wo"])
     if tp_axis is not None:
@@ -248,8 +266,18 @@ class LlamaModel:
     # -- cache --------------------------------------------------------------
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
         """KV cache matching the params layout: per-layer lists when layers are
-        unrolled, stacked [L, ...] arrays when layers are stacked (scan)."""
+        unrolled, stacked [L, ...] arrays when layers are stacked (scan).
+
+        dtype="int8" builds the block-quantized cache (~3.6x smaller;
+        ref: QuantizedKVCache, quant.zig:645-910) — unrolled layout only.
+        """
         c = self.cfg
+        if dtype == "int8" or dtype is jnp.int8:
+            from zgml_tpu.quant.kv_cache import init_quant_cache
+            qc = init_quant_cache(c.n_layers, batch, c.n_kv_heads,
+                                  c.max_seq_len, c.head_dim)
+            return {"k": [(kq, ks) for kq, ks in zip(qc["k_q"], qc["k_s"])],
+                    "v": [(vq, vs) for vq, vs in zip(qc["v_q"], qc["v_s"])]}
         shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
         if isinstance(self.params.get("layers"), (list, tuple)):
             return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],

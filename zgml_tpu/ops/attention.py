@@ -216,6 +216,115 @@ def _decode(qg, k, v, kv_len, *, bk: int, scale: float, n_rep_pad: int):
     )(kv_len, qg, k, v)
 
 
+# -- decode attention over int8 quantized KV ---------------------------------
+
+def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
+                      m_ref, l_ref, acc_ref, *, bs: int, scale: float,
+                      n_kb: int, n_rep_pad: int, qk: int):
+    """Flash decode directly over quantized KV (ref: attentionQuantized,
+    src/quant.zig:925-1091): per KV tile, dequantize int8 K/V in VMEM
+    (sublane-broadcast scales) and run the online-softmax update."""
+    kb = pl.program_id(1)
+    kv_len = len_ref[0]
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb * bs < kv_len)
+    def _():
+        q = q_ref[0].astype(jnp.float32)                       # [nr, d]
+        k_deq = kq_ref[0].astype(jnp.float32) * \
+            jnp.repeat(ks_ref[0], qk, axis=0)                  # [d, bs]
+        s = jnp.dot(q, k_deq, preferred_element_type=jnp.float32) * scale
+        ki = jax.lax.broadcasted_iota(jnp.int32, (n_rep_pad, bs), 1) + kb * bs
+        s = jnp.where(ki < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                                  # [nr, bs]
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        v_deq = vq_ref[0].astype(jnp.float32) * \
+            jnp.repeat(vs_ref[0], qk, axis=0)                  # [d, bs]
+        # acc += p @ v_deq^T  (contract the lane/bs axis of both)
+        acc_ref[:] += jax.lax.dot_general(
+            p, v_deq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "scale", "n_rep_pad", "qk"))
+def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, bs: int, scale: float,
+               n_rep_pad: int, qk: int):
+    """qg: [BHkv, nr, d]; kq/vq: [BHkv, d, S]; ks/vs: [BHkv, d//qk, S]."""
+    bhkv, nr, d = qg.shape
+    _, _, s_len = kq.shape
+    n_kb = s_len // bs
+    dq = d // qk
+    return pl.pallas_call(
+        functools.partial(_decode_q8_kernel, bs=bs, scale=scale, n_kb=n_kb,
+                          n_rep_pad=nr, qk=qk),
+        grid=(bhkv, n_kb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, bs), lambda h, kb: (h, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dq, bs), lambda h, kb: (h, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, bs), lambda h, kb: (h, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dq, bs), lambda h, kb: (h, 0, kb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nr, 128), jnp.float32),
+            pltpu.VMEM((nr, 128), jnp.float32),
+            pltpu.VMEM((nr, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(kv_len, qg, kq, ks, vq, vs)
+
+
+def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
+                               bs: int = 256) -> jax.Array:
+    """q [B,Hq,1,d]; kq/vq int8 [B,Hkv,d,S]; ks/vs f32 [B,Hkv,d//blk,S]."""
+    b, hq, _, d = q.shape
+    _, hkv, _, s = kq.shape
+    QK = d // ks.shape[2]   # kv quant block (32, or d for tiny heads)
+    n_rep = hq // hkv
+    nr_pad = max(8, n_rep)
+    qg = q.reshape(b, hkv, n_rep, d)
+    if nr_pad != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, nr_pad - n_rep), (0, 0)))
+    qg = qg.reshape(b * hkv, nr_pad, d)
+    bs_eff = min(bs, s)
+    while s % bs_eff:
+        bs_eff //= 2
+    lens = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    out = _decode_q8(qg, kq.reshape(b * hkv, d, s),
+                     ks.reshape(b * hkv, d // QK, s),
+                     vq.reshape(b * hkv, d, s),
+                     vs.reshape(b * hkv, d // QK, s), lens,
+                     bs=bs_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad,
+                     qk=QK)
+    out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
+    return out.reshape(b, hq, 1, d)
+
+
 def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                             kv_len, bk: int = 256) -> jax.Array:
     """q [B,Hq,1,d], k/v [B,Hkv,S,d], kv_len scalar -> [B,Hq,1,d]."""

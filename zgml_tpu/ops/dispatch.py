@@ -107,6 +107,20 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return refs.gqa_attention_ref(q, k, v, mask[None, None])
 
 
+def decode_attention_q8(q: jax.Array, kq, ks, vq, vs, kv_len) -> jax.Array:
+    """Decode attention directly over the int8 KV cache (d-major layout,
+    see zgml_tpu/quant/kv_cache.py). ref: attentionQuantized, quant.zig:925."""
+    if use_pallas():
+        from zgml_tpu.ops.attention import decode_attention_q8_pallas
+        _count("decode_attention_q8", "pallas")
+        return decode_attention_q8_pallas(q, kq, ks, vq, vs, kv_len)
+    _count("decode_attention_q8", "ref")
+    from zgml_tpu.quant.kv_cache import dequantize_cache
+    k = dequantize_cache(kq, ks)
+    v = dequantize_cache(vq, vs)
+    return decode_attention(q, k, v, kv_len)
+
+
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      kv_len: jax.Array) -> jax.Array:
     """Single-step attention over a KV cache prefix.
