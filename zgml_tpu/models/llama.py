@@ -198,14 +198,22 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     q = ops.rope_apply(q, cos, sin)
     k = ops.rope_apply(k, cos, sin)
 
+    per_row = getattr(pos, "ndim", 0) == 1   # [B] positions (continuous batching)
+
     if isinstance(cache_k, tuple):
         # int8 quantized KV cache: (k_q, k_s) / (v_q, v_s) d-major slabs
         from zgml_tpu.quant.kv_cache import (dequantize_cache,
                                              quantize_columns, write_columns)
         kq_new, ks_new = quantize_columns(k)
         vq_new, vs_new = quantize_columns(v)
-        cache_k = write_columns(cache_k[0], cache_k[1], kq_new, ks_new, pos)
-        cache_v = write_columns(cache_v[0], cache_v[1], vq_new, vs_new, pos)
+        if per_row:
+            dus = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                c, u, (0, 0, p)))
+            cache_k = (dus(cache_k[0], kq_new, pos), dus(cache_k[1], ks_new, pos))
+            cache_v = (dus(cache_v[0], vq_new, pos), dus(cache_v[1], vs_new, pos))
+        else:
+            cache_k = write_columns(cache_k[0], cache_k[1], kq_new, ks_new, pos)
+            cache_v = write_columns(cache_v[0], cache_v[1], vq_new, vs_new, pos)
         if decode:
             att = ops.decode_attention_q8(q, cache_k[0], cache_k[1],
                                           cache_v[0], cache_v[1], kv_len)
@@ -218,10 +226,16 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     else:
         # write K/V into the cache at position `pos` (analog of sliceAssign
         # with storage_offset patching, llama_inference.zig:450-453)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, 0, pos, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, 0, pos, 0))
+        if per_row:
+            dus = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
+                c, u, (0, p, 0)))
+            cache_k = dus(cache_k, k.astype(cache_k.dtype), pos)
+            cache_v = dus(cache_v, v.astype(cache_v.dtype), pos)
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, 0, pos, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, 0, pos, 0))
         if decode:
             att = ops.decode_attention(q, cache_k, cache_v, kv_len)
         else:
@@ -298,8 +312,15 @@ class LlamaModel:
         cfg = self.cfg
         b, t = tokens.shape
         x = jnp.take(params["tok_embd"], tokens, axis=0)   # [B, T, D]
-        positions = pos + jnp.arange(t)
-        cos, sin = refs.rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
+        if getattr(pos, "ndim", 0) == 1:
+            # per-row positions (continuous batching; decode only, T == 1)
+            assert t == 1, "per-row pos requires single-token decode"
+            cos, sin = refs.rope_cos_sin(pos, cfg.head_dim, cfg.rope_base)
+            cos = cos[:, None, None, :]     # [B,1,1,half] vs q [B,H,1,d]
+            sin = sin[:, None, None, :]
+        else:
+            positions = pos + jnp.arange(t)
+            cos, sin = refs.rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
         kv_len = pos + t
         decode = t == 1
 

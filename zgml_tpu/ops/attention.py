@@ -148,10 +148,19 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
 
 # -- decode attention ---------------------------------------------------------
 
+def _expand_lens(kv_len, b: int, hkv: int) -> jax.Array:
+    """Scalar or per-batch [B] kv_len -> per-(b*kv-head) SMEM vector
+    [B*Hkv] (continuous batching gives each sequence its own length)."""
+    lens = jnp.asarray(kv_len, jnp.int32)
+    if lens.ndim == 0:
+        lens = jnp.full((b,), lens, jnp.int32)
+    return jnp.repeat(lens.reshape(b, 1), hkv, axis=1).reshape(b * hkv)
+
+
 def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                    *, bk: int, scale: float, n_kb: int, n_rep_pad: int):
     kb = pl.program_id(1)
-    kv_len = len_ref[0]
+    kv_len = len_ref[pl.program_id(0)]   # per-(batch*kv-head) valid length
 
     @pl.when(kb == 0)
     def _():
@@ -225,7 +234,7 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
     src/quant.zig:925-1091): per KV tile, dequantize int8 K/V in VMEM
     (sublane-broadcast scales) and run the online-softmax update."""
     kb = pl.program_id(1)
-    kv_len = len_ref[0]
+    kv_len = len_ref[pl.program_id(0)]   # per-(batch*kv-head) valid length
 
     @pl.when(kb == 0)
     def _():
@@ -314,7 +323,7 @@ def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
     bs_eff = min(bs, s)
     while s % bs_eff:
         bs_eff //= 2
-    lens = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    lens = _expand_lens(kv_len, b, hkv)
     out = _decode_q8(qg, kq.reshape(b * hkv, d, s),
                      ks.reshape(b * hkv, d // QK, s),
                      vq.reshape(b * hkv, d, s),
@@ -339,7 +348,7 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     bk_eff = min(bk, s)
     while s % bk_eff:
         bk_eff //= 2
-    lens = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    lens = _expand_lens(kv_len, b, hkv)
     out = _decode(qg, k.reshape(b * hkv, s, d), v.reshape(b * hkv, s, d), lens,
                   bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad)
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
