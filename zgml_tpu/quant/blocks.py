@@ -42,6 +42,12 @@ def _as_blocks(x: np.ndarray) -> np.ndarray:
 def quantize_q8_0(x: np.ndarray) -> np.ndarray:
     """f32 array -> raw Q8_0 bytes (uint8 array [n_blocks*34])."""
     b = _as_blocks(x)
+    from zgml_tpu import native
+    lib = native.get_lib()
+    if lib is not None:
+        out = np.empty(b.shape[0] * Q8_0_BLOCK_BYTES, np.uint8)
+        lib.quantize_q8_0(np.ascontiguousarray(b.reshape(-1)), b.shape[0], out)
+        return out
     amax = np.max(np.abs(b), axis=1)
     d = (amax / 127.0).astype(np.float16)
     df = d.astype(np.float32)
@@ -67,6 +73,12 @@ def dequantize_q8_0(raw: np.ndarray | bytes, n_elems: int) -> np.ndarray:
 def quantize_q4_0(x: np.ndarray) -> np.ndarray:
     """f32 array -> raw Q4_0 bytes (ggml nibble order: byte j holds elements j & j+16)."""
     b = _as_blocks(x)
+    from zgml_tpu import native
+    lib = native.get_lib()
+    if lib is not None:
+        out = np.empty(b.shape[0] * Q4_0_BLOCK_BYTES, np.uint8)
+        lib.quantize_q4_0(np.ascontiguousarray(b.reshape(-1)), b.shape[0], out)
+        return out
     # ggml: pick the signed value with max |.|, scale d = that_value / -8 so it
     # quantizes exactly to nibble 0 (value -8). This preserves sign information.
     idx = np.argmax(np.abs(b), axis=1)

@@ -127,12 +127,20 @@ def repack_q8_0(raw: bytes | np.ndarray, n: int, k: int,
     buf = np.frombuffer(bytes(raw) if not isinstance(raw, np.ndarray) else raw.tobytes(),
                         dtype=np.uint8)
     n_blocks = n * k // QK
-    blk = buf[: n_blocks * Q8_0_BLOCK_BYTES].reshape(n_blocks, Q8_0_BLOCK_BYTES)
-    scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
-    qvals = blk[:, 2:].copy().view(np.int8).reshape(n, k)
     n_pad = _tile_friendly_pad(n) if n_align is None else _round_up(n, n_align)
     k_pad = _round_up(_tile_friendly_pad(k) if k_align is None
                       else _round_up(k, k_align), QK)
+    from zgml_tpu import native
+    lib = native.get_lib()
+    if lib is not None:
+        qvals = np.zeros((k_pad, n_pad), np.int8)
+        scales = np.zeros((k_pad // QK, n_pad), np.float32)
+        lib.q8_repack(np.ascontiguousarray(buf[: n_blocks * Q8_0_BLOCK_BYTES]),
+                      n, k, n_pad, k_pad, qvals, scales)
+        return PackedWeight("q8_0", n, k, n_pad, k_pad, qvals, scales)
+    blk = buf[: n_blocks * Q8_0_BLOCK_BYTES].reshape(n_blocks, Q8_0_BLOCK_BYTES)
+    scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
+    qvals = blk[:, 2:].copy().view(np.int8).reshape(n, k)
     return PackedWeight("q8_0", n, k, n_pad, k_pad,
                         _pad_nk(np.ascontiguousarray(qvals.T), k_pad, n_pad),
                         _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
@@ -150,6 +158,19 @@ def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
     buf = np.frombuffer(bytes(raw) if not isinstance(raw, np.ndarray) else raw.tobytes(),
                         dtype=np.uint8)
     n_blocks = n * k // QK
+    n_pad = _tile_friendly_pad(n) if n_align is None else _round_up(n, n_align)
+    # 512-multiple K so each half is a 256-multiple -> scale blocks stay
+    # 8-sublane-aligned for any legal bk
+    k_pad = _round_up(_tile_friendly_pad(k) if k_align is None
+                      else _round_up(k, k_align), 512)
+    from zgml_tpu import native
+    lib = native.get_lib()
+    if lib is not None:
+        packed = np.full((k_pad // 2, n_pad), 0x88, np.uint8).view(np.int8)
+        scales = np.zeros((k_pad // QK, n_pad), np.float32)
+        lib.q4_repack(np.ascontiguousarray(buf[: n_blocks * Q4_0_BLOCK_BYTES]),
+                      n, k, n_pad, k_pad, packed, scales)
+        return PackedWeight("q4_0", n, k, n_pad, k_pad, packed, scales)
     blk = buf[: n_blocks * Q4_0_BLOCK_BYTES].reshape(n_blocks, Q4_0_BLOCK_BYTES)
     scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
     nib = blk[:, 2:]  # ggml order: byte j of a block = elements (j, j+16)
@@ -158,11 +179,6 @@ def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
     w[:, :16] = nib & 0x0F
     w[:, 16:] = nib >> 4
     w = w.reshape(n, k)
-    n_pad = _tile_friendly_pad(n) if n_align is None else _round_up(n, n_align)
-    # 512-multiple K so each half is a 256-multiple -> scale blocks stay
-    # 8-sublane-aligned for any legal bk
-    k_pad = _round_up(_tile_friendly_pad(k) if k_align is None
-                      else _round_up(k, k_align), 512)
     wp = _pad_nk(np.ascontiguousarray(w.T), k_pad, n_pad, fill=8)  # nibble 8 == 0
     half = k_pad // 2
     packed = (wp[:half] | (wp[half:] << 4)).astype(np.uint8).view(np.int8)
