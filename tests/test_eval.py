@@ -1,0 +1,59 @@
+"""Perplexity harness tests: quantized-vs-dense deltas within north-star gates
+(ppl Δ <= 0.05 Q8_0 / <= 0.1 Q4_0, scaled for the tiny synthetic model)."""
+import numpy as np
+import pytest
+
+from zgml_tpu.io.gguf import GGMLType
+from zgml_tpu.io.llama_loader import load_llama
+from zgml_tpu.runtime.eval import perplexity, ppl_delta
+from zgml_tpu.utils.synthetic import TINY_TEST, write_synthetic_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ppl")
+    p8 = d / "m8.gguf"
+    p4 = d / "m4.gguf"
+    write_synthetic_llama_gguf(str(p8), TINY_TEST, GGMLType.Q8_0, seed=11)
+    write_synthetic_llama_gguf(str(p4), TINY_TEST, GGMLType.Q4_0, seed=11)
+    dense, _ = load_llama(str(p8), mode="dense")     # dequantized q8 as "fp"
+    q8, _ = load_llama(str(p8), mode="quantized")
+    q4, _ = load_llama(str(p4), mode="quantized")
+    return dense, q8, q4
+
+
+def test_ppl_finite_and_reasonable(models):
+    dense, _, _ = models
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, TINY_TEST.vocab_size, 100).astype(np.int32)
+    ppl = perplexity(dense, toks, window=32)
+    # untrained model on random tokens: ppl ~ vocab_size
+    assert 10 < ppl < TINY_TEST.vocab_size * 4
+
+
+def test_q8_delta_small(models):
+    dense, q8, _ = models
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, TINY_TEST.vocab_size, 96).astype(np.int32)
+    pa, pb, delta = ppl_delta(dense, q8, toks, window=32)
+    # q8 weights vs their exact dequantized copies: kernel-precision only
+    assert delta / pa < 0.01, (pa, pb)
+
+
+def test_q4_delta_bounded(models):
+    dense, _, q4 = models
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, TINY_TEST.vocab_size, 96).astype(np.int32)
+    pa, pb, delta = ppl_delta(dense, q4, toks, window=32)
+    # q4 carries real quantization error vs the q8-dequantized baseline;
+    # bound it loosely (untrained tiny model amplifies relative error)
+    assert delta / pa < 0.25, (pa, pb)
+
+
+def test_windowing_consistency(models):
+    dense, _, _ = models
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, TINY_TEST.vocab_size, 64).astype(np.int32)
+    p1 = perplexity(dense, toks, window=63)
+    p2 = perplexity(dense, toks, window=63)
+    assert abs(p1 - p2) < 1e-6

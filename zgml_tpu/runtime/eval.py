@@ -1,0 +1,53 @@
+"""Perplexity evaluation harness.
+
+The north-star accuracy gate (BASELINE.json): WikiText-2 ppl of the quantized
+model within Δ <= 0.05 (Q8_0) / <= 0.1 (Q4_0) of the FP16 reference. This
+environment has no network egress, so the harness takes any token array; the
+*delta* between two weight formats on identical data is the metric that
+matters and is dataset-agnostic.
+
+llama.cpp-style windowed evaluation: the token stream is split into
+`window`-sized chunks, each scored independently with a fresh context
+(teacher-forced next-token NLL over the whole window).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_nll(model, tokens: jax.Array) -> tuple[float, int]:
+    """Sum NLL (nats) + count over one [T] window, scored with full context."""
+    toks = jnp.asarray(tokens, jnp.int32)[None, :]
+    cache = model.init_cache(1)
+    logits, _ = model.forward(model.params, toks, cache, 0)
+    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
+    tgt = toks[0, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+    return float(jnp.sum(nll)), int(tgt.shape[0])
+
+
+def perplexity(model, tokens: np.ndarray, window: int = 256) -> float:
+    """ppl = exp(mean nll) over non-overlapping windows."""
+    tokens = np.asarray(tokens)
+    total, count = 0.0, 0
+    window = min(window, model.cfg.max_seq_len)
+    for i in range(0, len(tokens) - 1, window):
+        chunk = tokens[i:i + window + 1]
+        if len(chunk) < 2:
+            break
+        nll, n = window_nll(model, chunk)
+        total += nll
+        count += n
+    return math.exp(total / max(1, count))
+
+
+def ppl_delta(model_a, model_b, tokens: np.ndarray, window: int = 256
+              ) -> tuple[float, float, float]:
+    """Returns (ppl_a, ppl_b, |delta|)."""
+    pa = perplexity(model_a, tokens, window)
+    pb = perplexity(model_b, tokens, window)
+    return pa, pb, abs(pa - pb)
