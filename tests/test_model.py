@@ -108,3 +108,46 @@ def test_init_params_forward():
                               model.init_cache(1), 0)
     assert logits.shape == (1, 2, 128)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_mixed_quant_kinds_load(tmp_path):
+    """Real GGUFs mix quant types (e.g. Q8_0 attn_v in a Q4_0 model); the
+    loader must fall back to unfused projections for mixed groups."""
+    import numpy as np
+    from zgml_tpu.io.gguf import GGUFWriter, GGMLType
+    from zgml_tpu.utils.synthetic import TINY_TEST
+    cfg = TINY_TEST
+    rng = np.random.default_rng(0)
+    d, hd = cfg.d_model, cfg.head_dim
+    nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("llama.embedding_length", d)
+    w.add_metadata("llama.block_count", cfg.n_layers)
+    w.add_metadata("llama.attention.head_count", cfg.n_heads)
+    w.add_metadata("llama.attention.head_count_kv", cfg.n_kv_heads)
+    w.add_metadata("llama.feed_forward_length", cfg.d_ff)
+    w.add_metadata("llama.context_length", cfg.max_seq_len)
+    rand = lambda *s: (rng.standard_normal(s) * 0.05).astype(np.float32)
+    w.add_tensor("token_embd.weight", rand(cfg.vocab_size, d))
+    w.add_tensor("output_norm.weight", np.ones(d, np.float32))
+    w.add_tensor("output.weight", rand(cfg.vocab_size, d), GGMLType.Q8_0)
+    for i in range(cfg.n_layers):
+        w.add_tensor(f"blk.{i}.attn_norm.weight", np.ones(d, np.float32))
+        w.add_tensor(f"blk.{i}.ffn_norm.weight", np.ones(d, np.float32))
+        w.add_tensor(f"blk.{i}.attn_q.weight", rand(nq, d), GGMLType.Q4_0)
+        w.add_tensor(f"blk.{i}.attn_k.weight", rand(nkv, d), GGMLType.Q4_0)
+        w.add_tensor(f"blk.{i}.attn_v.weight", rand(nkv, d), GGMLType.Q8_0)
+        w.add_tensor(f"blk.{i}.attn_output.weight", rand(d, nq), GGMLType.Q4_0)
+        w.add_tensor(f"blk.{i}.ffn_gate.weight", rand(cfg.d_ff, d), GGMLType.Q4_0)
+        w.add_tensor(f"blk.{i}.ffn_up.weight", rand(cfg.d_ff, d), GGMLType.Q4_0)
+        w.add_tensor(f"blk.{i}.ffn_down.weight", rand(d, cfg.d_ff), GGMLType.Q4_0)
+    path = tmp_path / "mixed.gguf"
+    w.write(path)
+    model, _ = load_llama(str(path), mode="quantized")
+    lyr = model.params["layers"][0]
+    assert "wqkv" not in lyr and "wq" in lyr          # mixed group unfused
+    assert "w_gate_up" in lyr                          # uniform group fused
+    logits, _ = model.forward(model.params, jnp.asarray([[1, 2, 3]], jnp.int32),
+                              model.init_cache(1), 0)
+    assert np.isfinite(np.asarray(logits)).all()

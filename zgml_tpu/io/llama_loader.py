@@ -96,8 +96,16 @@ def _load_matmul(gf: GGUFFile, name: str, mode: str, dtype, **repack_kw):
 
 
 def _load_fused(gf: GGUFFile, names: list[str], mode: str, dtype):
-    """Load several same-input weights fused along the out axis (one launch)."""
+    """Load several same-input weights fused along the out axis (one launch).
+
+    Returns None when the group cannot fuse (mixed quant kinds — real GGUF
+    files often keep e.g. attn_v at Q8_0 inside a Q4_0 model); the caller then
+    loads them separately.
+    """
     from zgml_tpu.quant.repack import concat_packed
+    kinds = {gf.tensors[nm].ggml_type for nm in names}
+    if mode == "quantized" and len(kinds) > 1:
+        return None
     parts = [_load_matmul(gf, nm, mode, dtype, n_align=1) for nm in names]
     if isinstance(parts[0], PackedWeight):
         return concat_packed(parts)
@@ -131,12 +139,24 @@ def load_llama(path: str, mode: str = "quantized",
             layer[key] = jnp.asarray(gf.tensor_f32(f"blk.{i}.{suffix}"), dtype)
         if fuse and not stack_layers:
             # fused projections: fewer, larger kernel launches per token
-            layer["wqkv"] = _load_fused(
+            wqkv = _load_fused(
                 gf, [f"blk.{i}.attn_q.weight", f"blk.{i}.attn_k.weight",
                      f"blk.{i}.attn_v.weight"], mode, dtype)
-            layer["w_gate_up"] = _load_fused(
+            if wqkv is not None:
+                layer["wqkv"] = wqkv
+            else:
+                for key in ("wq", "wk", "wv"):
+                    layer[key] = _load_matmul(
+                        gf, f"blk.{i}.{_LAYER_MATMULS[key]}", mode, dtype)
+            wgu = _load_fused(
                 gf, [f"blk.{i}.ffn_gate.weight", f"blk.{i}.ffn_up.weight"],
                 mode, dtype)
+            if wgu is not None:
+                layer["w_gate_up"] = wgu
+            else:
+                for key in ("w_gate", "w_up"):
+                    layer[key] = _load_matmul(
+                        gf, f"blk.{i}.{_LAYER_MATMULS[key]}", mode, dtype)
             layer["wo"] = _load_matmul(gf, f"blk.{i}.attn_output.weight",
                                        mode, dtype)
             layer["w_down"] = _load_matmul(gf, f"blk.{i}.ffn_down.weight",

@@ -34,12 +34,20 @@ def force_ref():
         _force_ref.reset(tok)
 
 
-def use_pallas() -> bool:
-    """Pallas kernels are on by default; ZGML_TPU_KERNELS=ref forces the jnp oracle.
-    In interpret mode (tests) Pallas still runs, interpreted."""
+def use_pallas(op: str | None = None) -> bool:
+    """Pallas kernels are on by default; ZGML_TPU_KERNELS=ref forces the jnp
+    oracle everywhere; ZGML_TPU_KERNELS_DISABLE=attention,rmsnorm disables
+    specific ops (A/B profiling). In interpret mode (tests) Pallas still runs,
+    interpreted."""
     if _force_ref.get():
         return False
-    return os.environ.get("ZGML_TPU_KERNELS", "pallas") != "ref"
+    if os.environ.get("ZGML_TPU_KERNELS", "pallas") == "ref":
+        return False
+    if op is not None:
+        disabled = os.environ.get("ZGML_TPU_KERNELS_DISABLE", "")
+        if op in {s.strip() for s in disabled.split(",") if s.strip()}:
+            return False
+    return True
 
 
 def _count(name: str, tier: str):
@@ -55,7 +63,7 @@ def qmatmul(x: jax.Array, w: Any, out_dtype=jnp.float32) -> jax.Array:
     W is a PackedWeight (fused dequant kernel) or a plain [K, N] jax array.
     """
     if isinstance(w, PackedWeight):
-        if use_pallas():
+        if use_pallas("qmatmul"):
             from zgml_tpu.ops.qmatmul import qmatmul_pallas
             _count("qmatmul", "pallas")
             return qmatmul_pallas(x, w, out_dtype=out_dtype)
@@ -70,7 +78,7 @@ def qmatmul(x: jax.Array, w: Any, out_dtype=jnp.float32) -> jax.Array:
 # -- normalization / rope / attention ----------------------------------------
 
 def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
-    if use_pallas():
+    if use_pallas("rmsnorm"):
         from zgml_tpu.ops.rmsnorm import rmsnorm_pallas
         _count("rmsnorm", "pallas")
         return rmsnorm_pallas(x, gamma, eps)
@@ -92,7 +100,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Query row i has absolute position q_offset + i; keys with absolute position
     < kv_len and <= the query's position contribute.
     """
-    if use_pallas():
+    if use_pallas("attention"):
         from zgml_tpu.ops.attention import flash_attention_pallas
         _count("attention", "pallas")
         return flash_attention_pallas(q, k, v, kv_len, q_offset)
@@ -110,7 +118,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def decode_attention_q8(q: jax.Array, kq, ks, vq, vs, kv_len) -> jax.Array:
     """Decode attention directly over the int8 KV cache (d-major layout,
     see zgml_tpu/quant/kv_cache.py). ref: attentionQuantized, quant.zig:925."""
-    if use_pallas():
+    if use_pallas("decode_attention"):
         from zgml_tpu.ops.attention import decode_attention_q8_pallas
         _count("decode_attention_q8", "pallas")
         return decode_attention_q8_pallas(q, kq, ks, vq, vs, kv_len)
@@ -129,7 +137,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     number of valid cache positions (ref: seq_kv patching,
     src/device_inference.zig:252-256 — kernels never scan invalid cache).
     """
-    if use_pallas():
+    if use_pallas("decode_attention"):
         from zgml_tpu.ops.attention import decode_attention_pallas
         _count("decode_attention", "pallas")
         return decode_attention_pallas(q, k, v, kv_len)
