@@ -55,3 +55,16 @@ def test_sampling_top_p_distribution():
     toks = np.asarray(sample(logits, SamplingParams(temperature=1.0, top_p=0.9),
                              key))
     assert set(np.unique(toks)) <= {0, 1}
+
+
+def test_profile_program_census(model):
+    """Static program profile (analog of profileProgram, profile.zig:72-167)."""
+    from zgml_tpu.runtime.profile import profile_program
+    import jax.numpy as jnp
+    cache = model.init_cache(1)
+    prof = profile_program(
+        lambda t, c: model.forward(model.params, t, c, 0),
+        jnp.zeros((1, 1), jnp.int32), cache)
+    assert prof["n_eqns"] > 10
+    assert prof["custom_calls"] >= model.cfg.n_layers  # pallas kernels visible
+    assert prof["input_bytes"] > 0

@@ -40,7 +40,7 @@ def _expand_scales(s, block=QK):
 # -- Q8_0 ---------------------------------------------------------------------
 
 def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
-    kb = pl.program_id(1)
+    kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _():
@@ -54,25 +54,27 @@ def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
-def _q8_matmul(x, qvals, scales, *, bn: int, bk: int, out_dtype):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
+def _q8_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
     m, k_pad = x.shape
     _, n_pad = qvals.shape
     n_k = k_pad // bk
-    grid = (n_pad // bn, n_k)
+    grid = (m // bm, n_pad // bn, n_k)
     return pl.pallas_call(
         functools.partial(_q8_kernel, n_k=n_k, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, bk), lambda nb, kb: (0, kb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda nb, kb: (kb, nb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // QK, bn), lambda nb, kb: (kb, nb),
+            pl.BlockSpec((bm, bk), lambda mb, nb, kb: (mb, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda mb, nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // QK, bn), lambda mb, nb, kb: (kb, nb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda nb, kb: (0, nb),
+        out_specs=pl.BlockSpec((bm, bn), lambda mb, nb, kb: (mb, nb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=_interpret(),
     )(x, qvals, scales)
 
@@ -81,7 +83,7 @@ def _q8_matmul(x, qvals, scales, *, bn: int, bk: int, out_dtype):
 
 def _q4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
                *, n_k: int, out_dtype):
-    kb = pl.program_id(1)
+    kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _():
@@ -98,34 +100,36 @@ def _q4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "bk", "out_dtype"))
-def _q4_matmul(x, qvals, scales, *, bn: int, bk: int, out_dtype):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
+def _q4_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
     """bk is the *packed* K tile (covers 2*bk logical K per step)."""
     m, k_pad = x.shape
     kh, n_pad = qvals.shape          # kh = k_pad // 2
     n_k = kh // bk
-    grid = (n_pad // bn, n_k)
+    grid = (m // bm, n_pad // bn, n_k)
     return pl.pallas_call(
         functools.partial(_q4_kernel, n_k=n_k, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             # x low half: k in [kb*bk, kb*bk+bk)
-            pl.BlockSpec((m, bk), lambda nb, kb: (0, kb), memory_space=pltpu.VMEM),
-            # x high half: k in [k_pad/2 + kb*bk, ...)
-            pl.BlockSpec((m, bk), lambda nb, kb: (0, kb + n_k),
+            pl.BlockSpec((bm, bk), lambda mb, nb, kb: (mb, kb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda nb, kb: (kb, nb), memory_space=pltpu.VMEM),
+            # x high half: k in [k_pad/2 + kb*bk, ...)
+            pl.BlockSpec((bm, bk), lambda mb, nb, kb: (mb, kb + n_k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda mb, nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
             # scales, low half rows then high half rows
-            pl.BlockSpec((bk // QK, bn), lambda nb, kb: (kb, nb),
+            pl.BlockSpec((bk // QK, bn), lambda mb, nb, kb: (kb, nb),
                          memory_space=pltpu.VMEM),
             # high-half scale rows start at block index n_k (= kh/bk blocks in)
-            pl.BlockSpec((bk // QK, bn), lambda nb, kb: (kb + n_k, nb),
+            pl.BlockSpec((bk // QK, bn), lambda mb, nb, kb: (kb + n_k, nb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda nb, kb: (0, nb),
+        out_specs=pl.BlockSpec((bm, bn), lambda mb, nb, kb: (mb, nb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=_interpret(),
     )(x, x, qvals, scales, scales)
 
@@ -154,14 +158,15 @@ def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
     # choose tile sizes that divide the padded dims and satisfy Mosaic's
     # block constraints (scales sublane dim bk/32 must be 8-divisible or full)
     bn_eff = _choose_tile(pw.n_pad, bn, mult=128)
+    bm = m_pad if m_pad <= 512 else _choose_tile(m_pad, 256, mult=8)
     if pw.kind == "q8_0":
         bk_eff = _choose_tile(pw.k_pad, bk, mult=256)
-        out = _q8_matmul(x2, pw.qvals, pw.scales, bn=bn_eff, bk=bk_eff,
+        out = _q8_matmul(x2, pw.qvals, pw.scales, bm=bm, bn=bn_eff, bk=bk_eff,
                          out_dtype=out_dtype)
     elif pw.kind == "q4_0":
         kh = pw.k_pad // 2
         bk_eff = _choose_tile(kh, bk, mult=256)
-        out = _q4_matmul(x2, pw.qvals, pw.scales, bn=bn_eff, bk=bk_eff,
+        out = _q4_matmul(x2, pw.qvals, pw.scales, bm=bm, bn=bn_eff, bk=bk_eff,
                          out_dtype=out_dtype)
     else:
         raise ValueError(pw.kind)

@@ -70,3 +70,53 @@ class RuntimeProfile:
 
 
 global_profile = RuntimeProfile()
+
+
+def profile_program(fn, *args, **kwargs) -> dict:
+    """Static program profile: trace `fn` and census its primitive ops and
+    array traffic — the analog of the reference's profileProgram
+    (src/profile.zig:72-167: op-tag counts, buffer bytes, placement).
+
+    Returns {op_counts, n_eqns, input_bytes, output_bytes, custom_calls}.
+    """
+    import jax
+
+    closed = jax.make_jaxpr(fn)(*args, **kwargs)
+
+    op_counts: collections.Counter = collections.Counter()
+    custom_calls = 0
+
+    def walk(jaxpr):
+        nonlocal custom_calls
+        for eqn in jaxpr.eqns:
+            op_counts[eqn.primitive.name] += 1
+            if "pallas" in eqn.primitive.name or "custom_call" in eqn.primitive.name:
+                custom_calls += 1
+            for sub in jax.core.jaxprs_in_params(eqn.params) \
+                    if hasattr(jax.core, "jaxprs_in_params") else []:
+                walk(sub)
+            # common nested-jaxpr params
+            for key in ("jaxpr", "call_jaxpr", "branches", "cond_jaxpr",
+                        "body_jaxpr"):
+                sub = eqn.params.get(key)
+                if sub is None:
+                    continue
+                subs = sub if isinstance(sub, (list, tuple)) else [sub]
+                for s in subs:
+                    inner = getattr(s, "jaxpr", s)
+                    if hasattr(inner, "eqns"):
+                        walk(inner)
+
+    walk(closed.jaxpr)
+
+    def tree_bytes(avals):
+        return sum(int(a.size) * a.dtype.itemsize for a in avals
+                   if hasattr(a, "size"))
+
+    return {
+        "op_counts": dict(op_counts.most_common()),
+        "n_eqns": sum(op_counts.values()),
+        "custom_calls": custom_calls,
+        "input_bytes": tree_bytes(closed.in_avals),
+        "output_bytes": tree_bytes(closed.out_avals),
+    }
