@@ -78,11 +78,17 @@ def qmatmul(x: jax.Array, w: Any, out_dtype=jnp.float32) -> jax.Array:
 # -- normalization / rope / attention ----------------------------------------
 
 def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
-    if use_pallas("rmsnorm"):
+    # Default tier is XLA: a model-width row is a few KB and XLA fuses the
+    # norm into its elementwise neighbours, so a separate Pallas launch is
+    # pure dispatch overhead (measured: decode 1223->1304 tok/s, prefill
+    # 15.4k->19.5k on SmolLM-shape by switching). The Pallas kernel stays
+    # available via ZGML_TPU_KERNELS_FORCE=rmsnorm for standalone/huge rows.
+    forced = os.environ.get("ZGML_TPU_KERNELS_FORCE", "")
+    if "rmsnorm" in forced and use_pallas("rmsnorm"):
         from zgml_tpu.ops.rmsnorm import rmsnorm_pallas
         _count("rmsnorm", "pallas")
         return rmsnorm_pallas(x, gamma, eps)
-    _count("rmsnorm", "ref")
+    _count("rmsnorm", "xla")
     return refs.rmsnorm_ref(x, gamma, eps)
 
 
