@@ -38,7 +38,7 @@ def build_model(path: str, cfg, quant):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="smollm", choices=["smollm", "tiny"])
+    ap.add_argument("--preset", default="smollm", choices=["smollm", "tinyllama", "tiny"])
     ap.add_argument("--quant", default="q8_0", choices=["q8_0", "q4_0"])
     ap.add_argument("--pp", type=int, default=128, help="prefill tokens")
     ap.add_argument("--tg", type=int, default=200, help="decode tokens")
@@ -62,6 +62,8 @@ def main():
     if args.preset == "smollm":
         cfg = dataclasses.replace(synthetic.SMOLLM_135M, tied_lm_head=False,
                                   max_seq_len=2048)
+    elif args.preset == "tinyllama":
+        cfg = dataclasses.replace(synthetic.TINYLLAMA_1_1B, max_seq_len=2048)
     else:
         cfg = synthetic.TINY_TEST
     quant = GGMLType.Q8_0 if args.quant == "q8_0" else GGMLType.Q4_0
@@ -159,8 +161,10 @@ def main():
     log(global_profile.render())
 
     baseline_decode = 208.0  # zgml tg200, BASELINE.md
+    name = {"smollm": "SmolLM-135M", "tinyllama": "TinyLlama-1.1B",
+            "tiny": "tiny"}[args.preset]
     print(json.dumps({
-        "metric": f"decode tok/s (SmolLM-135M-shape {args.quant.upper()}, bs=1, tg{args.tg})",
+        "metric": f"decode tok/s ({name}-shape {args.quant.upper()}, bs=1, tg{args.tg})",
         "value": round(tg_rate, 2),
         "unit": "tok/s",
         "vs_baseline": round(tg_rate / baseline_decode, 3),

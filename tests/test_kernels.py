@@ -101,3 +101,82 @@ def test_decode_attention_matches_oracle(hq, hkv, kv_len):
     want = refs.gqa_attention_ref(q, k, v, jnp.asarray(valid))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_ffn_matches_separate():
+    """FFN megakernel == gate/up matmuls + swiglu + down (q8, part-padded)."""
+    from zgml_tpu.ops.ffn import ffn_compatible, fused_ffn_pallas
+    from zgml_tpu.quant.repack import concat_packed, quantize_weight, repack_q8_0
+    from zgml_tpu.quant.blocks import quantize_q8_0
+    rng = np.random.default_rng(11)
+    d, f, m = 256, 768, 5
+    wg = rng.standard_normal((f, d)).astype(np.float32)
+    wu = rng.standard_normal((f, d)).astype(np.float32)
+    wd = rng.standard_normal((d, f)).astype(np.float32)
+    x = rng.standard_normal((m, d)).astype(np.float32)
+
+    pwd = _to_jax(quantize_weight(wd, "q8_0"))
+    parts = [quantize_weight(wg, "q8_0", n_align=1),
+             quantize_weight(wu, "q8_0", n_align=1)]
+    gu = _to_jax(concat_packed(parts, part_pad=pwd.k_pad))
+    assert ffn_compatible(gu, pwd)
+
+    got = np.asarray(fused_ffn_pallas(jnp.asarray(x), gu, pwd))
+    # separate-path oracle on the same quantized values
+    from zgml_tpu.ops import refs
+    g = np.asarray(refs.qmatmul_ref(jnp.asarray(x), _to_jax(parts[0]).qvals,
+                                    _to_jax(parts[0]).scales, "q8_0"))[:, :f]
+    u = np.asarray(refs.qmatmul_ref(jnp.asarray(x), _to_jax(parts[1]).qvals,
+                                    _to_jax(parts[1]).scales, "q8_0"))[:, :f]
+    act = (g / (1 + np.exp(-g))) * u
+    want = np.asarray(refs.qmatmul_ref(jnp.asarray(act.astype(np.float32)),
+                                       pwd.qvals, pwd.scales, "q8_0"))[:, :d]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.5)
+
+
+def test_fused_ffn_large_m():
+    from zgml_tpu.ops.ffn import fused_ffn_pallas
+    from zgml_tpu.quant.repack import concat_packed, quantize_weight
+    rng = np.random.default_rng(12)
+    d, f, m = 256, 512, 300   # m > bm tile -> M-grid path
+    wg = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    x = rng.standard_normal((m, d)).astype(np.float32)
+    pwd = _to_jax(quantize_weight(wd, "q8_0"))
+    gu = _to_jax(concat_packed([quantize_weight(wg, "q8_0", n_align=1),
+                                quantize_weight(wu, "q8_0", n_align=1)],
+                               part_pad=pwd.k_pad))
+    got = np.asarray(fused_ffn_pallas(jnp.asarray(x), gu, pwd))
+    from zgml_tpu.quant.repack import dequant_packed
+    gf = dequant_packed(quantize_weight(wg, "q8_0", n_align=1))
+    uf = dequant_packed(quantize_weight(wu, "q8_0", n_align=1))
+    df = dequant_packed(quantize_weight(wd, "q8_0"))
+    g = x @ gf.T
+    u = x @ uf.T
+    act = (g / (1 + np.exp(-g))) * u
+    want = act @ df.T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.3)
+
+
+def test_fused_ffn_nonaligned_k():
+    """SmolLM-like dims: d=576 (pads to 640, no 256-divisor -> full-K chunk)."""
+    from zgml_tpu.ops.ffn import ffn_compatible, fused_ffn_pallas
+    from zgml_tpu.quant.repack import concat_packed, quantize_weight, dequant_packed
+    rng = np.random.default_rng(13)
+    d, f, m = 576, 1536, 3
+    wg = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    x = rng.standard_normal((m, d)).astype(np.float32)
+    pwd = _to_jax(quantize_weight(wd, "q8_0"))
+    gu = _to_jax(concat_packed([quantize_weight(wg, "q8_0", n_align=1),
+                                quantize_weight(wu, "q8_0", n_align=1)],
+                               part_pad=pwd.k_pad))
+    assert ffn_compatible(gu, pwd)
+    got = np.asarray(fused_ffn_pallas(jnp.asarray(x), gu, pwd))
+    g = x @ dequant_packed(quantize_weight(wg, "q8_0", n_align=1)).T
+    u = x @ dequant_packed(quantize_weight(wu, "q8_0", n_align=1)).T
+    act = (g / (1 + np.exp(-g))) * u
+    want = act @ dequant_packed(quantize_weight(wd, "q8_0")).T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.3)

@@ -95,9 +95,12 @@ def _load_matmul(gf: GGUFFile, name: str, mode: str, dtype, **repack_kw):
     return jnp.asarray(np.ascontiguousarray(w.T), dtype)  # K-major [K, N]
 
 
-def _load_fused(gf: GGUFFile, names: list[str], mode: str, dtype):
+def _load_fused(gf: GGUFFile, names: list[str], mode: str, dtype,
+                part_pad: int | None = None):
     """Load several same-input weights fused along the out axis (one launch).
 
+    part_pad pads each part to a fixed column count (zero blocks) — used for
+    gate/up so their halves align with w_down's padded K (FFN megakernel).
     Returns None when the group cannot fuse (mixed quant kinds — real GGUF
     files often keep e.g. attn_v at Q8_0 inside a Q4_0 model); the caller then
     loads them separately.
@@ -108,7 +111,7 @@ def _load_fused(gf: GGUFFile, names: list[str], mode: str, dtype):
         return None
     parts = [_load_matmul(gf, nm, mode, dtype, n_align=1) for nm in names]
     if isinstance(parts[0], PackedWeight):
-        return concat_packed(parts)
+        return concat_packed(parts, part_pad=part_pad)
     return jnp.concatenate(parts, axis=1)
 
 
@@ -148,19 +151,21 @@ def load_llama(path: str, mode: str = "quantized",
                 for key in ("wq", "wk", "wv"):
                     layer[key] = _load_matmul(
                         gf, f"blk.{i}.{_LAYER_MATMULS[key]}", mode, dtype)
+            layer["wo"] = _load_matmul(gf, f"blk.{i}.attn_output.weight",
+                                       mode, dtype)
+            layer["w_down"] = _load_matmul(gf, f"blk.{i}.ffn_down.weight",
+                                           mode, dtype)
+            wd = layer["w_down"]
             wgu = _load_fused(
                 gf, [f"blk.{i}.ffn_gate.weight", f"blk.{i}.ffn_up.weight"],
-                mode, dtype)
+                mode, dtype,
+                part_pad=wd.k_pad if isinstance(wd, PackedWeight) else None)
             if wgu is not None:
                 layer["w_gate_up"] = wgu
             else:
                 for key in ("w_gate", "w_up"):
                     layer[key] = _load_matmul(
                         gf, f"blk.{i}.{_LAYER_MATMULS[key]}", mode, dtype)
-            layer["wo"] = _load_matmul(gf, f"blk.{i}.attn_output.weight",
-                                       mode, dtype)
-            layer["w_down"] = _load_matmul(gf, f"blk.{i}.ffn_down.weight",
-                                           mode, dtype)
         else:
             for key, suffix in _LAYER_MATMULS.items():
                 layer[key] = _load_matmul(gf, f"blk.{i}.{suffix}", mode, dtype)

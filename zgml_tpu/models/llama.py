@@ -250,15 +250,19 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
     if tp_axis is not None:
         h = _tp_copy(h, tp_axis)
+    ff_out = None
     if "w_gate_up" in layer:
-        gu = _project(h, layer["w_gate_up"])
-        f = gu.shape[-1] // 2
-        gate, up = gu[..., :f], gu[..., f:]
-    else:
-        gate = _project(h, layer["w_gate"])
-        up = _project(h, layer["w_up"])
-    ff = refs.swiglu_ref(gate, up)
-    ff_out = _project(ff, layer["w_down"])
+        ff_out = ops.fused_ffn(h, layer["w_gate_up"], layer["w_down"])
+    if ff_out is None:
+        if "w_gate_up" in layer:
+            gu = _project(h, layer["w_gate_up"])
+            f = gu.shape[-1] // 2
+            gate, up = gu[..., :f], gu[..., f:]
+        else:
+            gate = _project(h, layer["w_gate"])
+            up = _project(h, layer["w_up"])
+        ff = refs.swiglu_ref(gate, up)
+        ff_out = _project(ff, layer["w_down"])
     if tp_axis is not None:
         ff_out = _tp_reduce(ff_out, tp_axis)
     x = x + ff_out.astype(x.dtype)

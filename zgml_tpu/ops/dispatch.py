@@ -75,6 +75,24 @@ def qmatmul(x: jax.Array, w: Any, out_dtype=jnp.float32) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+def fused_ffn(x: jax.Array, gu: Any, wd: Any):
+    """down(silu(gate(x)) * up(x)) as one kernel when the layout allows;
+    returns None if the caller should use the separate-projection path.
+
+    Decode-only (small M): one launch beats three when per-call overhead
+    dominates; at prefill M the separate kernels tile better (measured)."""
+    m = 1
+    for dim in x.shape[:-1]:
+        m *= dim
+    if m > 32:
+        return None
+    from zgml_tpu.ops.ffn import ffn_compatible, fused_ffn_pallas
+    if not use_pallas("fused_ffn") or not ffn_compatible(gu, wd):
+        return None
+    _count("fused_ffn", "pallas")
+    return fused_ffn_pallas(x, gu, wd)
+
+
 # -- normalization / rope / attention ----------------------------------------
 
 def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:

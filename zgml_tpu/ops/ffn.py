@@ -1,0 +1,144 @@
+"""Fused SwiGLU FFN megakernel: gate/up dequant-matmuls + silu·mul + down
+dequant-matmul in ONE Pallas launch.
+
+Decode on small models is custom-call-overhead-bound (~1.7us per call on this
+chip, measured); collapsing the FFN's three launches into one is the analog of
+the reference's Metal projection-group batching (program.zig:980-1485) done at
+the kernel level instead of the command-stream level.
+
+Layout contract (enforced by the loader): w_gate_up is a part-padded fused
+PackedWeight [Dp, 2*Fp] (columns [0,Fp)=gate+zeros, [Fp,2Fp)=up+zeros) and
+w_down is [Fp, Dp] — so F-tiles of gate/up align 1:1 with K-tiles of down, and
+zero-padded F columns contribute silu(0)*0 = 0. Q8_0 only (Q4 falls back to
+the separate-kernel path).
+
+Grid: (M-tiles, F-tiles). Per step: K-chunked gate/up dots, SwiGLU on the VPU,
+D-chunked down-projection accumulated into a [bm, Dp] VMEM scratch.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zgml_tpu.quant.blocks import QK
+from zgml_tpu.quant.repack import PackedWeight
+
+
+def _interpret() -> bool:
+    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+
+
+def _ffn_kernel(x_ref, gq_ref, gs_ref, uq_ref, us_ref, dq_ref, ds_ref,
+                o_ref, acc_ref, *, nf: int, ck: int, cd: int, out_dtype):
+    ff = pl.program_id(1)
+
+    @pl.when(ff == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    m, dp = x_ref.shape
+    bf = gq_ref.shape[1]
+    accg = jnp.zeros((m, bf), jnp.float32)
+    accu = jnp.zeros((m, bf), jnp.float32)
+    for c in range(dp // ck):           # K-chunked gate/up dots (unrolled)
+        xs = x_ref[:, c * ck:(c + 1) * ck]
+        sg = jnp.repeat(gs_ref[c * ck // QK:(c + 1) * ck // QK, :], QK, axis=0)
+        wg = gq_ref[c * ck:(c + 1) * ck, :].astype(jnp.float32) * sg
+        accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
+        su = jnp.repeat(us_ref[c * ck // QK:(c + 1) * ck // QK, :], QK, axis=0)
+        wu = uq_ref[c * ck:(c + 1) * ck, :].astype(jnp.float32) * su
+        accu += jnp.dot(xs, wu, preferred_element_type=jnp.float32)
+
+    act = accu * (accg * jax.nn.sigmoid(accg))      # silu(gate) * up
+
+    for c in range(dp // cd):           # D-chunked down projection (unrolled)
+        sd = jnp.repeat(ds_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        wd = dq_ref[:, c * cd:(c + 1) * cd].astype(jnp.float32) * sd
+        acc_ref[:, c * cd:(c + 1) * cd] += jnp.dot(
+            act, wd, preferred_element_type=jnp.float32)
+
+    @pl.when(ff == nf - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype"))
+def _ffn(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
+         out_dtype):
+    """x [M, Dp]; gu_q int8 [Dp, 2*Fp]; d_q int8 [Fp, Dp]."""
+    m, dp = x.shape
+    fp = d_q.shape[0]
+    nf = fp // bf
+    half_blocks = gu_q.shape[1] // 2 // bf   # up half starts nf blocks in
+
+    return pl.pallas_call(
+        functools.partial(_ffn_kernel, nf=nf, ck=ck, cd=cd,
+                          out_dtype=out_dtype),
+        grid=(m // bm, nf),
+        in_specs=[
+            pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),       # gate qvals
+            pl.BlockSpec((dp // QK, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),       # gate scales
+            pl.BlockSpec((dp, bf), lambda mb, ff, hb=half_blocks: (0, ff + hb),
+                         memory_space=pltpu.VMEM),       # up qvals
+            pl.BlockSpec((dp // QK, bf), lambda mb, ff, hb=half_blocks:
+                         (0, ff + hb), memory_space=pltpu.VMEM),  # up scales
+            pl.BlockSpec((bf, dp), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),       # down qvals
+            pl.BlockSpec((bf // QK, dp), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),       # down scales
+        ],
+        out_specs=pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, dp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32)],
+        interpret=_interpret(),
+    )(x, gu_q, gu_s, gu_q, gu_s, d_q, d_s)
+
+
+def ffn_compatible(gu: PackedWeight, wd: PackedWeight) -> bool:
+    """Layout contract check (see module docstring)."""
+    return (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)
+            and gu.kind == "q8_0" and wd.kind == "q8_0"
+            and gu.n_pad == 2 * wd.k_pad
+            and wd.k_pad % 256 == 0
+            and gu.k_pad % QK == 0 and gu.k_pad <= 8192)
+
+
+def fused_ffn_pallas(x: jax.Array, gu: PackedWeight, wd: PackedWeight,
+                     out_dtype=jnp.float32) -> jax.Array:
+    """x [..., D] -> [..., D]: down(silu(gate(x)) * up(x)), one launch."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    m_pad = max(8, (m + 7) // 8 * 8)
+    if k < gu.k_pad or m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, gu.k_pad - k)))
+    fp = wd.k_pad
+    bf = 512 if gu.k_pad <= 2048 else 256
+    while fp % bf:
+        bf //= 2
+    bm = m_pad if m_pad <= 256 else 256
+    while m_pad % bm:
+        bm //= 2
+    # K-chunk: a multiple-of-256 divisor when one exists, else the whole K
+    # (small models; keeps scale slices sublane-aligned either way)
+    ck = gu.k_pad
+    for cand in range(1024, 0, -256):
+        if gu.k_pad % cand == 0:
+            ck = cand
+            break
+    cd = ck
+    out = _ffn(x2, gu.qvals, gu.scales, wd.qvals, wd.scales,
+               bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype)
+    return out[:m, : wd.n].reshape(*lead, wd.n)

@@ -186,7 +186,8 @@ def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
                         _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
 
 
-def concat_packed(pws: list[PackedWeight]) -> PackedWeight:
+def concat_packed(pws: list[PackedWeight],
+                  part_pad: int | None = None) -> PackedWeight:
     """Fuse weights that share an input (e.g. Q/K/V, gate/up) into one
     PackedWeight along the out-feature axis, so one kernel launch serves all
     (the analog of zgml-GPT's packed w_qkv single GEMM, src/models/gpt.zig,
@@ -204,6 +205,24 @@ def concat_packed(pws: list[PackedWeight]) -> PackedWeight:
         if pw.n != pw.n_pad:
             raise ValueError("concat_packed: inputs must be N-unpadded "
                              "(repack with n_align=1)")
+    if part_pad is not None:
+        # pad EACH part to part_pad columns (zero blocks) so downstream
+        # kernels can address parts at fixed strides (e.g. the FFN megakernel
+        # aligns gate/up halves with w_down's padded K)
+        def pad_part(p):
+            q = np.asarray(p.qvals)
+            s = np.asarray(p.scales)
+            fill = 0x88 if p.kind == "q4_0" else 0
+            return (_pad_nk(q if p.kind != "q4_0" else q.view(np.uint8),
+                            q.shape[0], part_pad, fill).view(np.int8)
+                    if p.kind == "q4_0" else _pad_nk(q, q.shape[0], part_pad),
+                    _pad_nk(s, s.shape[0], part_pad))
+        parts = [pad_part(p) for p in pws]
+        qvals = np.concatenate([q for q, _ in parts], axis=1)
+        scales = np.concatenate([s for _, s in parts], axis=1)
+        n = qvals.shape[1]
+        return PackedWeight(first.kind, n, first.k, n, first.k_pad,
+                            qvals, scales)
     qvals = np.concatenate([np.asarray(p.qvals) for p in pws], axis=1)
     scales = np.concatenate([np.asarray(p.scales) for p in pws], axis=1)
     n = qvals.shape[1]
