@@ -135,3 +135,25 @@ def test_report_and_dot():
     assert "nodes" in rep and "chains" in rep
     dot = g.to_dot()
     assert dot.startswith("digraph") and "exp" in dot
+
+
+def test_conv_and_pool_forward_and_grad():
+    """Graph-tier conv2d/maxpool (ref fusion patterns, fusion.zig:261-335):
+    forward matches XLA conv; grads flow (conv backward came free)."""
+    rng = np.random.default_rng(5)
+    xv = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    wv = rng.standard_normal((3, 3, 3, 4)).astype(np.float32)
+    x, w = var("x", (2, 8, 8, 3)), var("w", (3, 3, 3, 4))
+    y = x.conv2d(w).relu().max_pool2d(2).sum()
+    g = ComputeGraph(y)
+    val = float(g.run(x=xv, w=wv))
+    from zgml_tpu.nn.layers import conv2d, max_pool2d
+    want = float(jnp.sum(max_pool2d(jax.nn.relu(conv2d(
+        jnp.asarray(xv), jnp.asarray(wv))), 2)))
+    assert abs(val - want) < 1e-2 * abs(want)
+    grads = g.grad(["w"])(x=xv, w=wv)
+    assert grads["w"].shape == (3, 3, 3, 4)
+    assert np.isfinite(np.asarray(grads["w"])).all()
+    # build-time shape check
+    with pytest.raises(ValueError):
+        x.conv2d(var("bad", (3, 3, 5, 4)))

@@ -85,6 +85,14 @@ def lower_node(node: LazyTensor, vals: dict[int, Any]) -> Any:
         return refs.rmsnorm_ref(srcs[0], srcs[1], node.payload)
     if op == Op.LAYERNORM:
         return refs.layernorm_ref(srcs[0], srcs[1], srcs[2], node.payload)
+    if op == Op.CONV2D:
+        from zgml_tpu.nn.layers import conv2d
+        stride, padding = node.payload
+        return conv2d(srcs[0], srcs[1], stride, padding)
+    if op == Op.MAXPOOL2D:
+        from zgml_tpu.nn.layers import max_pool2d
+        window, stride = node.payload
+        return max_pool2d(srcs[0], window, stride)
     if op == Op.MATMUL:
         trans_a, trans_b = node.payload
         a = jnp.swapaxes(srcs[0], -1, -2) if trans_a else srcs[0]

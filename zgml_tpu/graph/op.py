@@ -55,6 +55,10 @@ class Op(enum.Enum):
     LAYERNORM = "layernorm"  # payload: eps
     ATTENTION = "attention"  # payload: scale, causal
     ROPE = "rope"
+    # convolution / pooling (ref: conv2d as as_strided+GEMM decomposition,
+    # api.zig:707-732; here a first-class op lowered to XLA conv -> MXU)
+    CONV2D = "conv2d"        # payload: (stride, padding)
+    MAXPOOL2D = "maxpool2d"  # payload: (window, stride)
     # matmul (payload: trans_a, trans_b)
     MATMUL = "matmul"
     # losses (pattern-fused in the reference, fusion.zig:171-203)

@@ -137,6 +137,34 @@ class LazyTensor:
         """out[i] = self[i, idx[i]] (ref: pick_rows; used by cross-entropy)."""
         return LazyTensor(Op.PICK_ROWS, tuple(self.shape[:-1]), (self, idx))
 
+    # -- convolution / pooling ----------------------------------------------
+    def conv2d(self, w: "LazyTensor", stride: int = 1,
+               padding: str = "VALID") -> "LazyTensor":
+        """self: [B, H, W, Cin]; w: [kh, kw, Cin, Cout]
+        (ref: conv2d decomposition, api.zig:707-732)."""
+        b, h, wd, cin = self.shape
+        kh, kw, cin2, cout = w.shape
+        if cin != cin2:
+            raise ValueError(f"conv2d channel mismatch {cin} vs {cin2}")
+        if padding == "VALID":
+            oh = (h - kh) // stride + 1
+            ow = (wd - kw) // stride + 1
+        else:  # SAME
+            oh = -(-h // stride)
+            ow = -(-wd // stride)
+        return LazyTensor(Op.CONV2D, (b, oh, ow, cout), (self, w),
+                          (stride, padding))
+
+    def max_pool2d(self, window: int = 2, stride: int | None = None
+                   ) -> "LazyTensor":
+        """ref: maxPool2d as 6-D strided max, api.zig:738-756."""
+        stride = stride or window
+        b, h, w, c = self.shape
+        oh = (h - window) // stride + 1
+        ow = (w - window) // stride + 1
+        return LazyTensor(Op.MAXPOOL2D, (b, oh, ow, c), (self,),
+                          (window, stride))
+
     # -- composites ---------------------------------------------------------
     def softmax(self, axis=-1):
         return LazyTensor(Op.SOFTMAX, self.shape, (self,), axis)
