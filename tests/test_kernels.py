@@ -180,3 +180,19 @@ def test_fused_ffn_nonaligned_k():
     act = (g / (1 + np.exp(-g))) * u
     want = act @ dequant_packed(quantize_weight(wd, "q8_0")).T
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.3)
+
+
+def test_flash_attention_odd_tq():
+    """Odd query lengths (ppl windows of W+1 tokens) pad internally."""
+    rng = np.random.default_rng(14)
+    b, hq, hkv, tq, s, d = 1, 3, 3, 37, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, hq, tq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    got = flash_attention_pallas(q, k, v, kv_len=tq, q_offset=0)
+    ki = np.arange(s)[None, :]
+    qi = np.arange(tq)[:, None]
+    mask = jnp.asarray((ki < tq) & (ki <= qi))
+    want = refs.gqa_attention_ref(q, k, v, mask[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

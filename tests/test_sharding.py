@@ -130,3 +130,25 @@ def test_ring_attention_noncausal():
     want = refs.attention_ref(q, k, v, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pp_forward_matches_single_device():
+    """Pipeline-parallel forward (layer-sharded stages) == unsharded."""
+    from zgml_tpu.parallel.pp import make_pp_forward, shard_pp_params
+    import jax.numpy as jnp
+    cfg = LlamaConfig(vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, n_layers=8, max_seq_len=32)
+    model = LlamaModel(cfg, init_params(cfg, seed=4))
+    tokens = jnp.asarray(np.random.default_rng(5).integers(0, 128, (2, 6)),
+                         jnp.int32)
+    want, want_cache = model.forward(model.params, tokens,
+                                     model.init_cache(2), 0)
+    mesh = make_mesh(tp=4, dp=2, axis_names=("dp", "pp"))
+    fwd = make_pp_forward(model, mesh)
+    params = shard_pp_params(model.params, mesh)
+    got, got_cache = fwd(params, tokens, model.init_cache(2), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_cache["k"]),
+                               np.asarray(want_cache["k"]),
+                               rtol=2e-2, atol=2e-2)

@@ -132,18 +132,26 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     n_rep = hq // hkv
     if kv_len is None:
         kv_len = s
+    # pad Tq to a tile-legal size (odd windows, e.g. ppl eval's W+1 tokens);
+    # padded query rows compute garbage that is sliced away
+    tq_pad = tq
     bq_eff = min(bq, tq)
-    while tq % bq_eff:
-        bq_eff //= 2
+    while tq_pad % bq_eff:
+        if bq_eff % 2 == 0 and (bq_eff // 2) % 8 == 0 and tq % (bq_eff // 2) == 0:
+            bq_eff //= 2
+        else:
+            tq_pad = (tq + bq_eff - 1) // bq_eff * bq_eff
+    qp = q if tq_pad == tq else jnp.pad(
+        q, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
     bk_eff = min(bk, s)
     while s % bk_eff:
         bk_eff //= 2
     lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
                       jnp.asarray(q_offset, jnp.int32).reshape(())])
-    out = _flash(q.reshape(b * hq, tq, d), k.reshape(b * hkv, s, d),
+    out = _flash(qp.reshape(b * hq, tq_pad, d), k.reshape(b * hkv, s, d),
                  v.reshape(b * hkv, s, d), lens,
                  hq=hq, n_rep=n_rep, bq=bq_eff, bk=bk_eff, scale=1.0 / (d ** 0.5))
-    return out.reshape(b, hq, tq, d)
+    return out.reshape(b, hq, tq_pad, d)[:, :, :tq]
 
 
 # -- decode attention ---------------------------------------------------------

@@ -13,11 +13,12 @@ from jax.sharding import Mesh
 
 
 def make_mesh(tp: int | None = None, dp: int | None = None,
-              devices=None) -> Mesh:
-    """Build a ('dp', 'tp') mesh over the given (default: all) devices.
+              devices=None, axis_names=("dp", "tp")) -> Mesh:
+    """Build a 2-D mesh over the given (default: all) devices.
 
     tp defaults to all devices (pure tensor parallelism); mesh_utils places the
-    tp axis on the innermost physical dimension so collectives ride ICI.
+    inner axis on the innermost physical dimension so collectives ride ICI.
+    axis_names renames the axes (e.g. ("dp", "pp") for pipeline stages).
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
@@ -33,7 +34,7 @@ def make_mesh(tp: int | None = None, dp: int | None = None,
         arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
     except Exception:
         arr = np.array(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    return Mesh(arr, tuple(axis_names))
 
 
 def multihost_init(coordinator: str | None = None, num_processes: int | None = None,
