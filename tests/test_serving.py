@@ -53,25 +53,20 @@ def test_mid_flight_admission(model):
     want_a = eng.generate([5, 6, 7], 8)
 
     serve = ContinuousBatchingEngine(model, max_batch=2)
+    emissions: dict[int, list[int]] = {}
     rid_a = serve.submit([5, 6, 7], 8)
     for _ in range(3):
-        serve.step()
-    rid_b = serve.submit([9, 9], 5)
+        for rid, t in serve.step():
+            emissions.setdefault(rid, []).append(t)
+    rid_b = serve.submit([9, 9], 5)   # joins while rid_a is mid-decode
     while any(s is not None for s in serve.slots) or serve.waiting:
-        serve.step()
-    # find request objects
-    a_out = None
-    for req_out in [want_a]:
-        pass
-    # collect via slots history: requests record outputs on the object
-    # (run() not used here) — re-walk through emissions:
-    # simpler: submit returns rid; outputs live on Request objects we can't
-    # reach; so check determinism by rerunning with run()
-    serve2 = ContinuousBatchingEngine(model, max_batch=2)
-    outs = serve2.run([([5, 6, 7], 8), ([9, 9], 5)])
-    assert outs[0] == want_a
+        for rid, t in serve.step():
+            emissions.setdefault(rid, []).append(t)
+    # rid_a's decode emissions (prefill's first token is not emitted by step)
+    assert emissions[rid_a] == want_a[1:]
     eng2 = LlamaEngine(model, donate_cache=False)
-    assert outs[1] == eng2.generate([9, 9], 5)
+    want_b = eng2.generate([9, 9], 5)
+    assert emissions[rid_b] == want_b[1:]
 
 
 def test_int8_cache_serving(model):
