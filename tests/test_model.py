@@ -151,3 +151,19 @@ def test_mixed_quant_kinds_load(tmp_path):
     logits, _ = model.forward(model.params, jnp.asarray([[1, 2, 3]], jnp.int32),
                               model.init_cache(1), 0)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantized_q4_close_to_dense(tmp_path):
+    """Q4_0 end-to-end (incl. part-padded fused gate_up) vs its dequantized
+    dense twin."""
+    path = tmp_path / "t4.gguf"
+    write_synthetic_llama_gguf(str(path), TINY_TEST, GGMLType.Q4_0, seed=6)
+    dmodel, _ = load_llama(str(path), mode="dense")
+    qmodel, _ = load_llama(str(path), mode="quantized")
+    toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    ld, _ = dmodel.forward(dmodel.params, toks, dmodel.init_cache(1), 0)
+    lq, _ = qmodel.forward(qmodel.params, toks, qmodel.init_cache(1), 0)
+    a = np.asarray(ld[:, -1]).ravel()
+    b = np.asarray(lq[:, -1]).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos >= 0.999, cos  # dense is the dequantized q4 -> near-exact
