@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: SmolLM-135M-shape Q8_0 decode on one TPU chip.
+"""Headline benchmark: Llama-2-7B-shape Q4_0 decode vs the HBM roofline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline compares against the reference's published decode rate
 (zgml tg200 ~208 tok/s on Apple Silicon, docs/perf-targets.md:13 — see
-BASELINE.md). Secondary numbers (prefill, placement profile) go to stderr.
+BASELINE.md); `roofline_frac` is the north-star gate: achieved / achievable
+tok/s where achievable = measured HBM bandwidth / bytes-per-token
+(BASELINE.md: >= 0.90 target). Secondary numbers (prefill, placement profile,
+roofline breakdown) go to stderr.
 
-The model is synthetic (zero-egress environment) but has exactly SmolLM-135M's
-shapes, quantization format, and an untied Q8_0 lm_head (strictly more work per
-token than the tied real model). Decode is measured llama.cpp-style: bs=1,
-greedy, one host sync per generated token.
+Models are synthetic (zero-egress environment) but have exactly the real
+models' shapes and quantization formats. Decode is measured llama.cpp-style:
+bs=1, greedy.
 """
 from __future__ import annotations
 
@@ -38,10 +40,14 @@ def build_model(path: str, cfg, quant):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="smollm", choices=["smollm", "tinyllama", "tiny"])
-    ap.add_argument("--quant", default="q8_0", choices=["q8_0", "q4_0"])
+    ap.add_argument("--preset", default="llama2-7b",
+                    choices=["smollm", "tinyllama", "llama2-7b", "tiny"])
+    ap.add_argument("--quant", default=None, choices=["q8_0", "q4_0"],
+                    help="default: q4_0 for llama2-7b/tinyllama (north star), "
+                         "q8_0 otherwise")
     ap.add_argument("--pp", type=int, default=128, help="prefill tokens")
-    ap.add_argument("--tg", type=int, default=200, help="decode tokens")
+    ap.add_argument("--tg", type=int, default=None, help="decode tokens "
+                    "(default 128 for 7b, 200 otherwise)")
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
                     help="KV cache dtype")
@@ -59,11 +65,18 @@ def main():
     if args.smoke:
         args.preset, args.pp, args.tg = "tiny", 16, 8
 
+    if args.quant is None:
+        args.quant = "q4_0" if args.preset in ("llama2-7b", "tinyllama") else "q8_0"
+    if args.tg is None:
+        args.tg = 128 if args.preset == "llama2-7b" else 200
+
     if args.preset == "smollm":
         cfg = dataclasses.replace(synthetic.SMOLLM_135M, tied_lm_head=False,
                                   max_seq_len=2048)
     elif args.preset == "tinyllama":
         cfg = dataclasses.replace(synthetic.TINYLLAMA_1_1B, max_seq_len=2048)
+    elif args.preset == "llama2-7b":
+        cfg = dataclasses.replace(synthetic.LLAMA2_7B, max_seq_len=2048)
     else:
         cfg = synthetic.TINY_TEST
     quant = GGMLType.Q8_0 if args.quant == "q8_0" else GGMLType.Q4_0
@@ -160,14 +173,29 @@ def main():
         f"(best; scan chunk={scan_chunk}); per-step-sync: {step_rate:.1f} tok/s")
     log(global_profile.render())
 
+    # -- HBM roofline (north-star gate, BASELINE.md) --------------------------
+    from zgml_tpu.runtime import roofline as rl
+    kv_mid = args.pp + args.tg // 2      # average live context while decoding
+    roof = rl.roofline(model, kv_mid, cache_dtype=cache_dtype)
+    roof_frac = tg_rate / roof["achievable_tok_s"]
+    log(f"roofline: HBM {roof['hbm_bandwidth_GBs']:.0f} GB/s measured; "
+        f"{roof['weight_bytes']/1e9:.3f} GB weights + "
+        f"{roof['kv_bytes']/1e6:.1f} MB KV per token @ kv_len={kv_mid} "
+        f"-> achievable {roof['achievable_tok_s']:.1f} tok/s; "
+        f"achieved {tg_rate:.1f} ({100*roof_frac:.1f}%)")
+
     baseline_decode = 208.0  # zgml tg200, BASELINE.md
     name = {"smollm": "SmolLM-135M", "tinyllama": "TinyLlama-1.1B",
-            "tiny": "tiny"}[args.preset]
+            "llama2-7b": "Llama-2-7B", "tiny": "tiny"}[args.preset]
     print(json.dumps({
         "metric": f"decode tok/s ({name}-shape {args.quant.upper()}, bs=1, tg{args.tg})",
         "value": round(tg_rate, 2),
         "unit": "tok/s",
         "vs_baseline": round(tg_rate / baseline_decode, 3),
+        "roofline_frac": round(roof_frac, 3),
+        "roofline_tok_s": round(roof["achievable_tok_s"], 1),
+        "hbm_GBs": round(roof["hbm_bandwidth_GBs"], 1),
+        "prefill_tok_s": round(pp_rate, 1),
     }))
 
 

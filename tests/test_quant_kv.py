@@ -35,10 +35,15 @@ def test_write_columns_at_position():
     assert np.all(back[:, :, :4] == 0)
 
 
-@pytest.mark.parametrize("hq,hkv,kv_len", [(4, 4, 17), (8, 2, 100)])
-def test_decode_q8_kernel_matches_oracle(hq, hkv, kv_len):
+@pytest.mark.parametrize("hq,hkv,kv_len,s", [
+    (4, 4, 17, 128), (8, 2, 100, 128),
+    # multi-block cases: kv_len spans several KV tiles (default bs=256), so the
+    # online-softmax alpha-rescale across block boundaries is exercised
+    (8, 2, 500, 512), (4, 4, 512, 1024),
+])
+def test_decode_q8_kernel_matches_oracle(hq, hkv, kv_len, s):
     rng = np.random.default_rng(2)
-    b, s, d = 2, 128, 64
+    b, d = 2, 64
     q = jnp.asarray(rng.standard_normal((b, hq, 1, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))

@@ -97,6 +97,84 @@ def test_tp_train_step_matches_single_device(model):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+@pytest.mark.parametrize("axis,tp", [("n", 2), ("n", 4), ("k", 2), ("k", 4)])
+def test_shard_packed_exact(kind, axis, tp):
+    """shard_packed must be an exact re-layout: each local shard dequantizes
+    to the corresponding slice of the global dequantized weight."""
+    import dataclasses
+    from zgml_tpu.parallel.tp import shard_packed
+    from zgml_tpu.quant.repack import dequant_packed, quantize_weight
+    rng = np.random.default_rng(3)
+    n, k = 96, 256
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    pw = quantize_weight(w, kind)
+    full = dequant_packed(pw)                      # [n, k]
+    spw = shard_packed(pw, tp, axis)
+    for t in range(tp):
+        if axis == "n":
+            qv = np.asarray(spw.qvals)[:, t * spw.n_pad:(t + 1) * spw.n_pad]
+            sc = np.asarray(spw.scales)[:, t * spw.n_pad:(t + 1) * spw.n_pad]
+            local = dataclasses.replace(spw, qvals=qv, scales=sc)
+            want = full[t * spw.n:(t + 1) * spw.n, :]
+        else:
+            rows = spw.k_pad // 2 if kind == "q4_0" else spw.k_pad
+            qv = np.asarray(spw.qvals)[t * rows:(t + 1) * rows]
+            sb = spw.k_pad // 32
+            sc = np.asarray(spw.scales)[t * sb:(t + 1) * sb]
+            local = dataclasses.replace(spw, qvals=qv, scales=sc)
+            want = full[:, t * spw.k:(t + 1) * spw.k]
+        np.testing.assert_array_equal(dequant_packed(local), want)
+
+
+def _quantize_stacked_params(params, kind):
+    """Dense stacked params -> PackedWeight (stacked) for every matmul leaf."""
+    from zgml_tpu.io.llama_loader import _stack_packed
+    from zgml_tpu.quant.repack import quantize_weight
+    out = {"tok_embd": params["tok_embd"], "out_norm": params["out_norm"]}
+    layers = {}
+    for name, leaf in params["layers"].items():
+        if name in ("attn_norm", "ffn_norm"):
+            layers[name] = leaf
+            continue
+        pws = [quantize_weight(np.asarray(leaf[i]).T, kind)
+               for i in range(leaf.shape[0])]
+        layers[name] = _stack_packed(pws)
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"] = quantize_weight(np.asarray(params["lm_head"]).T, kind)
+    return out
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+def test_tp_forward_quantized_matches_single_device(model, kind):
+    """TP over PackedWeight params == single-device quantized forward
+    (per-shard repack keeps the quantized layout self-consistent)."""
+    qparams = _quantize_stacked_params(model.params, kind)
+    qmodel = LlamaModel(CFG, qparams)
+    tokens = jnp.asarray(np.random.default_rng(4).integers(0, 256, (4, 8)),
+                         jnp.int32)
+    ref_logits, _ = qmodel.forward(qparams, tokens, qmodel.init_cache(4), 0)
+
+    mesh = make_mesh(tp=2, dp=4)
+    sharded = shard_llama_params(qparams, mesh)
+    qmodel_sh = LlamaModel(CFG, sharded)
+    fwd = make_sharded_forward(qmodel_sh, mesh)
+    logits, _ = fwd(sharded, tokens, qmodel.init_cache(4), 0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_tp_unsharded_packedweight_rejected(model):
+    """Global-layout PackedWeight params must be rejected by
+    make_sharded_forward (silent wrong-math guard)."""
+    qparams = _quantize_stacked_params(model.params, "q8_0")
+    qmodel = LlamaModel(CFG, qparams)
+    mesh = make_mesh(tp=2, dp=4)
+    with pytest.raises(ValueError, match="not TP-sharded"):
+        make_sharded_forward(qmodel, mesh)
+
+
 def test_ring_attention_matches_single_device():
     """Context-parallel ring attention == dense causal attention."""
     from zgml_tpu.parallel.ring import make_ring_attention

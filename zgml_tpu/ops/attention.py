@@ -87,6 +87,12 @@ def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float
 
     hq = query heads per batch element; flattened q-head index h maps to
     flattened kv-head index (h // hq)*(hq // n_rep) + (h % hq)//n_rep.
+
+    KV index maps are clamped to the live frontier (min(kv_len, causal end))
+    via scalar prefetch: dead blocks map to the last live block, so Pallas's
+    consecutive-revisit elision skips their DMAs — HBM traffic scales with
+    kv_len, not max_seq (the TPU analog of seq_kv patching,
+    device_inference.zig:252-256).
     """
     bhq, tq, d = q.shape
     bhkv, s, _ = k.shape
@@ -94,27 +100,32 @@ def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float
     n_kb = s // bk
     hkv = hq // n_rep
 
-    def kv_index(h, qb_, kb_):
-        return ((h // hq) * hkv + (h % hq) // n_rep, kb_, 0)
+    def kv_index(h, qb_, kb_, lens_ref):
+        live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
+        last_kb = jnp.maximum(live_end - 1, 0) // bk
+        return ((h // hq) * hkv + (h % hq) // n_rep,
+                jnp.minimum(kb_, last_kb), 0)
 
-    return pl.pallas_call(
-        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bhq, n_qb, n_kb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lens [2]
-            pl.BlockSpec((1, bq, d), lambda h, qb_, kb_: (h, qb_, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
+            pl.BlockSpec((1, bk, d), kv_index),
+            pl.BlockSpec((1, bk, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda h, qb_, kb_: (h, qb_, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, d),
+                               lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),  # running max (col 0 used)
             pltpu.VMEM((bq, 128), jnp.float32),  # running sum
             pltpu.VMEM((bq, d), jnp.float32),    # output accumulator
         ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
         interpret=_interpret(),
     )(lens, q, k, v)
 
@@ -204,31 +215,40 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 @functools.partial(jax.jit, static_argnames=("bk", "scale", "n_rep_pad"))
 def _decode(qg, k, v, kv_len, *, bk: int, scale: float, n_rep_pad: int):
-    """qg: [BHkv, n_rep_pad, d], k/v: [BHkv, S, d], kv_len: int32 [1] (SMEM)."""
+    """qg: [BHkv, n_rep_pad, d], k/v: [BHkv, S, d], kv_len: int32 [BHkv].
+
+    KV blocks beyond each sequence's kv_len are clamped to the last live block
+    in the index map (scalar prefetch), so their DMAs are elided: decode HBM
+    traffic is proportional to kv_len, not max_seq.
+    """
     bhkv, nr, d = qg.shape
     _, s, _ = k.shape
     n_kb = s // bk
-    return pl.pallas_call(
-        functools.partial(_decode_kernel, bk=bk, scale=scale, n_kb=n_kb,
-                          n_rep_pad=nr),
+
+    def kv_map(h, kb, lens_ref):
+        last_kb = jnp.maximum(lens_ref[h] - 1, 0) // bk
+        return (h, jnp.minimum(kb, last_kb), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bhkv, n_kb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, kb: (h, kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, kb: (h, kb, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
+            pl.BlockSpec((1, bk, d), kv_map),
+            pl.BlockSpec((1, bk, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
+        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nr, 128), jnp.float32),
             pltpu.VMEM((nr, 128), jnp.float32),
             pltpu.VMEM((nr, d), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        functools.partial(_decode_kernel, bk=bk, scale=scale, n_kb=n_kb,
+                          n_rep_pad=nr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
         interpret=_interpret(),
     )(kv_len, qg, k, v)
 
@@ -267,8 +287,9 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
         m_ref[:, :1] = m_new
         v_deq = vq_ref[0].astype(jnp.float32) * \
             jnp.repeat(vs_ref[0], qk, axis=0)                  # [d, bs]
-        # acc += p @ v_deq^T  (contract the lane/bs axis of both)
-        acc_ref[:] += jax.lax.dot_general(
+        # acc = acc*alpha + p @ v_deq^T  (contract the lane/bs axis of both);
+        # the alpha rescale keeps earlier blocks on the running-max scale
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v_deq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -282,36 +303,40 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
 @functools.partial(jax.jit, static_argnames=("bs", "scale", "n_rep_pad", "qk"))
 def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, bs: int, scale: float,
                n_rep_pad: int, qk: int):
-    """qg: [BHkv, nr, d]; kq/vq: [BHkv, d, S]; ks/vs: [BHkv, d//qk, S]."""
+    """qg: [BHkv, nr, d]; kq/vq: [BHkv, d, S]; ks/vs: [BHkv, d//qk, S];
+    kv_len: int32 [BHkv] scalar-prefetch (clamped index maps — dead-block
+    DMAs elided, traffic ∝ kv_len)."""
     bhkv, nr, d = qg.shape
     _, _, s_len = kq.shape
     n_kb = s_len // bs
     dq = d // qk
-    return pl.pallas_call(
-        functools.partial(_decode_q8_kernel, bs=bs, scale=scale, n_kb=n_kb,
-                          n_rep_pad=nr, qk=qk),
+
+    def kv_map(h, kb, lens_ref):
+        last_kb = jnp.maximum(lens_ref[h] - 1, 0) // bs
+        return (h, 0, jnp.minimum(kb, last_kb))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bhkv, n_kb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, bs), lambda h, kb: (h, 0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dq, bs), lambda h, kb: (h, 0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, bs), lambda h, kb: (h, 0, kb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dq, bs), lambda h, kb: (h, 0, kb),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
+            pl.BlockSpec((1, d, bs), kv_map),
+            pl.BlockSpec((1, dq, bs), kv_map),
+            pl.BlockSpec((1, d, bs), kv_map),
+            pl.BlockSpec((1, dq, bs), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb: (h, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
+        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nr, 128), jnp.float32),
             pltpu.VMEM((nr, 128), jnp.float32),
             pltpu.VMEM((nr, d), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        functools.partial(_decode_q8_kernel, bs=bs, scale=scale, n_kb=n_kb,
+                          n_rep_pad=nr, qk=qk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
         interpret=_interpret(),
     )(kv_len, qg, kq, ks, vq, vs)
 

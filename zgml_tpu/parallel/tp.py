@@ -39,11 +39,103 @@ def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
     return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
               **{kw: check_rep})
 
+import dataclasses
+
+import numpy as np
+
 from zgml_tpu.models.llama import LlamaConfig, LlamaModel
-from zgml_tpu.quant.repack import PackedWeight
+from zgml_tpu.quant.blocks import QK
+from zgml_tpu.quant.repack import (PackedWeight, _round_up,
+                                   _tile_friendly_pad)
 
 _COL_SHARDED = {"wq", "wk", "wv", "w_gate", "w_up"}   # out-features over tp
 _ROW_SHARDED = {"wo", "w_down"}                       # in-features over tp
+
+
+def shard_packed(pw: PackedWeight, tp: int, axis: str) -> PackedWeight:
+    """Exact per-shard re-layout of a PackedWeight for tensor parallelism.
+
+    axis='n' splits out-features (column-parallel), axis='k' splits
+    in-features (row-parallel). Each shard is re-padded independently so all
+    shards have identical local padded dims; the returned PackedWeight holds
+    GLOBAL host arrays (tp shards concatenated along the split axis) with
+    LOCAL aux dims (n/k/n_pad/k_pad describe ONE shard) — exactly the form
+    shard_map's in_specs split back into self-consistent local PackedWeights.
+    No re-quantization happens: quantized values and scales are moved, never
+    recomputed (padding regions dequantize to zero).
+
+    Handles both [K', N] and layer-stacked [L, K', N] qvals/scales.
+    """
+    qv = np.asarray(pw.qvals)
+    sc = np.asarray(pw.scales, dtype=np.float32)
+    stacked = qv.ndim == 3
+    if not stacked:
+        qv, sc = qv[None], sc[None]
+    L = qv.shape[0]
+
+    if axis == "n":
+        if pw.n % tp:
+            raise ValueError(f"n={pw.n} not divisible by tp={tp}")
+        n_loc = pw.n // tp
+        n_pad_loc = _tile_friendly_pad(n_loc)
+        q_fill = 0x88 if pw.kind == "q4_0" else 0
+        qs, ss = [], []
+        for t in range(tp):
+            q_t = qv[:, :, t * n_loc:(t + 1) * n_loc]
+            s_t = sc[:, :, t * n_loc:(t + 1) * n_loc]
+            q_p = np.full((L, qv.shape[1], n_pad_loc), q_fill,
+                          np.uint8).view(np.int8)
+            q_p[:, :, :n_loc] = q_t
+            s_p = np.zeros((L, sc.shape[1], n_pad_loc), np.float32)
+            s_p[:, :, :n_loc] = s_t
+            qs.append(q_p)
+            ss.append(s_p)
+        qvg, scg = np.concatenate(qs, axis=2), np.concatenate(ss, axis=2)
+        out = dataclasses.replace(pw, n=n_loc, n_pad=n_pad_loc,
+                                  qvals=qvg if stacked else qvg[0],
+                                  scales=scg if stacked else scg[0])
+        return out
+
+    if axis != "k":
+        raise ValueError(f"axis must be 'n' or 'k', got {axis!r}")
+    if pw.k % tp:
+        raise ValueError(f"k={pw.k} not divisible by tp={tp}")
+    k_loc = pw.k // tp
+    if k_loc % QK:
+        raise ValueError(f"local K={k_loc} not a multiple of {QK}")
+    n_pad = qv.shape[2]
+    if pw.kind == "q4_0":
+        # unpack the global K half-split to natural-order nibbles, slice,
+        # re-split per shard (see repack.py for the layout)
+        b = qv.view(np.uint8)
+        w = np.concatenate([b & 0x0F, b >> 4], axis=1)      # [L, k_pad, N]
+        k_pad_loc = _round_up(_tile_friendly_pad(k_loc), 512)
+        qs, ss = [], []
+        for t in range(tp):
+            w_p = np.full((L, k_pad_loc, n_pad), 8, np.uint8)
+            w_p[:, :k_loc] = w[:, t * k_loc:(t + 1) * k_loc]
+            h = k_pad_loc // 2
+            qs.append((w_p[:, :h] | (w_p[:, h:] << 4)).astype(np.uint8)
+                      .view(np.int8))
+            s_p = np.zeros((L, k_pad_loc // QK, n_pad), np.float32)
+            s_p[:, :k_loc // QK] = sc[:, t * (k_loc // QK):
+                                      (t + 1) * (k_loc // QK)]
+            ss.append(s_p)
+    else:
+        k_pad_loc = _round_up(_tile_friendly_pad(k_loc), QK)
+        qs, ss = [], []
+        for t in range(tp):
+            q_p = np.zeros((L, k_pad_loc, n_pad), np.int8)
+            q_p[:, :k_loc] = qv[:, t * k_loc:(t + 1) * k_loc]
+            s_p = np.zeros((L, k_pad_loc // QK, n_pad), np.float32)
+            s_p[:, :k_loc // QK] = sc[:, t * (k_loc // QK):
+                                      (t + 1) * (k_loc // QK)]
+            qs.append(q_p)
+            ss.append(s_p)
+    qvg, scg = np.concatenate(qs, axis=1), np.concatenate(ss, axis=1)
+    return dataclasses.replace(pw, k=k_loc, k_pad=k_pad_loc,
+                               qvals=qvg if stacked else qvg[0],
+                               scales=scg if stacked else scg[0])
 
 
 def llama_param_specs(params: dict) -> dict:
@@ -80,14 +172,31 @@ def cache_specs() -> dict:
 
 
 def shard_llama_params(params: dict, mesh: Mesh) -> dict:
-    """device_put the params with their TP shardings (dense leaves only for
-    PackedWeight-free trees; PackedWeight leaves use their specs as-is)."""
-    specs = llama_param_specs(params)
+    """device_put the params with their TP shardings.
+
+    PackedWeight leaves are first re-laid-out per shard (shard_packed), so the
+    quantized layout stays self-consistent inside shard_map: each device's
+    shard is a complete local PackedWeight with matching aux dims."""
+    tp = int(mesh.shape.get("tp", 1))
+    out = dict(params)
+    if tp > 1:
+        layers = dict(params["layers"])
+        for name, leaf in layers.items():
+            if not isinstance(leaf, PackedWeight):
+                continue
+            if name in _COL_SHARDED:
+                layers[name] = shard_packed(leaf, tp, "n")
+            elif name in _ROW_SHARDED:
+                layers[name] = shard_packed(leaf, tp, "k")
+        out["layers"] = layers
+        if isinstance(params.get("lm_head"), PackedWeight):
+            out["lm_head"] = shard_packed(params["lm_head"], tp, "n")
+    specs = llama_param_specs(out)
 
     def put(leaf, spec):
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, params, specs)
+    return jax.tree.map(put, out, specs)
 
 
 def make_sharded_forward(model: LlamaModel, mesh: Mesh):
@@ -101,6 +210,23 @@ def make_sharded_forward(model: LlamaModel, mesh: Mesh):
     if cfg.n_heads % tp or cfg.n_kv_heads % tp:
         raise ValueError(f"n_heads={cfg.n_heads}/n_kv_heads={cfg.n_kv_heads} "
                          f"not divisible by tp={tp}")
+    if tp > 1:
+        # PackedWeight params must already be per-shard repacked (local aux
+        # dims): slicing a global-layout PackedWeight inside shard_map would
+        # mismatch its static n/k/n_pad/k_pad
+        for name, leaf in model.params["layers"].items():
+            if not isinstance(leaf, PackedWeight):
+                continue
+            q = leaf.qvals
+            if name in _COL_SHARDED and q.shape[-1] != leaf.n_pad * tp:
+                raise ValueError(
+                    f"{name}: quantized params not TP-sharded — run "
+                    f"shard_llama_params(params, mesh) first")
+            rows = leaf.k_pad // 2 if leaf.kind == "q4_0" else leaf.k_pad
+            if name in _ROW_SHARDED and q.shape[-2] != rows * tp:
+                raise ValueError(
+                    f"{name}: quantized params not TP-sharded — run "
+                    f"shard_llama_params(params, mesh) first")
     pspecs = llama_param_specs(model.params)
 
     def fwd(params, tokens, cache, pos):

@@ -34,7 +34,9 @@ def perplexity(model, tokens: np.ndarray, window: int = 256) -> float:
     """ppl = exp(mean nll) over non-overlapping windows."""
     tokens = np.asarray(tokens)
     total, count = 0.0, 0
-    window = min(window, model.cfg.max_seq_len)
+    # each chunk forwards window+1 tokens (targets are shifted), so the
+    # window must leave one cache slot of headroom
+    window = min(window, model.cfg.max_seq_len - 1)
     for i in range(0, len(tokens) - 1, window):
         chunk = tokens[i:i + window + 1]
         if len(chunk) < 2:

@@ -1,0 +1,115 @@
+"""HBM-bandwidth roofline harness for decode throughput.
+
+The north-star acceptance gate (BASELINE.md): Llama-2-7B Q4_0 decode at >= 90%
+of the per-chip HBM roofline. Single-token decode is memory-bound: every
+generated token must stream all matmul weights plus the live KV prefix from
+HBM, so
+
+    achievable tok/s = measured_HBM_bandwidth / bytes_per_token
+
+This module measures the achievable number on the actual chip (not the spec
+sheet) and derives bytes/token from the actual resident model, mirroring the
+reference's acceptance discipline of comparing against an external bound
+rather than itself (ref: /root/reference/docs/perf-targets.md:218-230).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zgml_tpu.quant.repack import PackedWeight
+
+
+def measure_hbm_bandwidth(nbytes: int = 1 << 30, iters: int = 8) -> float:
+    """Measured streaming bandwidth (bytes/s) via a saxpy over `nbytes`.
+
+    Reads + writes nbytes each pass (2x traffic). Chained dispatch with a
+    single final sync so host/tunnel latency is amortized; best-of-2 trials
+    absorbs time-sharing noise on the chip.
+    """
+    n = nbytes // 4
+    x = jnp.zeros((n,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return x * 1.0000001 + 1e-12
+
+    f(x).block_until_ready()   # compile
+
+    def trial():
+        y = x
+        t0 = time.time()
+        for _ in range(iters):
+            y = f(y)
+        y.block_until_ready()
+        return 2.0 * nbytes * iters / (time.time() - t0)
+
+    return max(trial(), trial())
+
+
+def _leaf_bytes(leaf: Any) -> int:
+    if isinstance(leaf, PackedWeight):
+        return leaf.nbytes
+    return int(np.prod(leaf.shape)) * jnp.dtype(leaf.dtype).itemsize
+
+
+def weight_bytes_per_token(params: dict) -> int:
+    """Bytes of weights streamed per decoded token (bs=1).
+
+    All matmul weights + norms are read in full; the token embedding is a
+    single gathered row unless it doubles as a tied LM head (then the full
+    matrix feeds the logits matmul).
+    """
+    total = 0
+    layers = params["layers"]
+    layer_list = layers if isinstance(layers, (list, tuple)) else [layers]
+    for layer in layer_list:
+        for leaf in jax.tree.leaves(layer,
+                                    is_leaf=lambda x: isinstance(x, PackedWeight)):
+            total += _leaf_bytes(leaf)
+    if isinstance(layers, dict):
+        # stacked leaves already include the layer axis; nothing to scale
+        pass
+    total += _leaf_bytes(params["out_norm"])
+    if "lm_head" in params:
+        total += _leaf_bytes(params["lm_head"])
+        # embedding: one row gather
+        total += params["tok_embd"].shape[1] * jnp.dtype(
+            params["tok_embd"].dtype).itemsize
+    else:
+        # tied head: full embedding matrix read by the logits matmul
+        total += _leaf_bytes(params["tok_embd"])
+    return total
+
+
+def kv_bytes_per_token(cfg, kv_len: int, cache_dtype) -> int:
+    """KV bytes read per decode step at a live prefix of kv_len positions.
+
+    With the clamped-DMA kernels (zgml_tpu/ops/attention.py) traffic is
+    proportional to kv_len, not max_seq."""
+    elems = 2 * cfg.n_layers * cfg.n_kv_heads * cfg.head_dim * kv_len
+    if cache_dtype == "int8":
+        from zgml_tpu.quant.kv_cache import kv_block
+        blk = kv_block(cfg.head_dim)
+        return elems + (elems // blk) * 4          # int8 vals + f32 scales
+    return elems * jnp.dtype(cache_dtype).itemsize
+
+
+def roofline(model, kv_len: int, cache_dtype=jnp.bfloat16,
+             bandwidth: float | None = None) -> dict:
+    """Achievable decode tok/s for `model` at a given live context length."""
+    bw = bandwidth if bandwidth is not None else measure_hbm_bandwidth()
+    wb = weight_bytes_per_token(model.params)
+    kb = kv_bytes_per_token(model.cfg, kv_len, cache_dtype)
+    per_tok = wb + kb
+    return {
+        "hbm_bandwidth_GBs": bw / 1e9,
+        "weight_bytes": wb,
+        "kv_bytes": kb,
+        "bytes_per_token": per_tok,
+        "achievable_tok_s": bw / per_tok,
+    }

@@ -83,7 +83,15 @@ class ContinuousBatchingEngine:
     # -- public api ----------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int,
                stop_ids: tuple[int, ...] = ()) -> int:
-        req = Request(list(prompt), max_new_tokens, stop_ids,
+        prompt = list(prompt)
+        # a prompt longer than the cache would silently clamp the DUS start
+        # and corrupt the cache tail; reject like LlamaEngine.prefill
+        # (ref: error.SequenceTooLong, llama_inference.zig:682)
+        if len(prompt) + 1 > self.cfg.max_seq_len:
+            raise ValueError(
+                f"SequenceTooLong: prompt {len(prompt)} + 1 exceeds "
+                f"max_seq_len {self.cfg.max_seq_len}")
+        req = Request(prompt, max_new_tokens, stop_ids,
                       rid=next(self._ids))
         self.waiting.append(req)
         return req.rid
