@@ -1,0 +1,68 @@
+"""Custom-VJP conformance: Pallas flash-attention gradients vs jax.grad of the
+jnp oracle (interpret mode on CPU).
+
+The reference cannot train attention at all (its backward panics,
+src/tensor/backward.zig:393-404); here the Pallas kernel carries a
+FlashAttention-2 backward, so training runs the kernel tier end-to-end.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.ops import refs
+from zgml_tpu.ops.attention import flash_attention_pallas
+
+
+def _grads(fn, *args):
+    return jax.grad(lambda *a: jnp.sum(jnp.sin(fn(*a))), argnums=(0, 1, 2))(*args)
+
+
+@pytest.mark.parametrize("b,hq,hkv,tq,s,kv_len,q_off", [
+    (1, 2, 2, 128, 128, 128, 0),      # MHA, full causal square
+    (2, 4, 2, 128, 256, 200, 72),     # GQA n_rep=2, live prefix < S, offset
+    (1, 4, 1, 64, 256, 96, 32),       # GQA n_rep=4, odd Tq (pad path)
+])
+def test_flash_vjp_matches_oracle(b, hq, hkv, tq, s, kv_len, q_off):
+    d = 64
+    n_rep = hq // hkv
+    rng = np.random.default_rng(hash((b, hq, tq, s)) % 2**32)
+    q = jnp.asarray(rng.standard_normal((b, hq, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+
+    ki = np.arange(s)[None, :]
+    qi = q_off + np.arange(tq)[:, None]
+    mask = jnp.asarray((ki < kv_len) & (ki <= qi))
+
+    def ref_fn(q, k, v):
+        return refs.gqa_attention_ref(q, k, v, mask[None, None])
+
+    def pallas_fn(q, k, v):
+        return flash_attention_pallas(q, k, v, kv_len=kv_len, q_offset=q_off)
+
+    got = _grads(pallas_fn, q, k, v)
+    want = _grads(ref_fn, q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), got, want):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = np.abs(bb).max() + 1e-9
+        np.testing.assert_allclose(a / scale, bb / scale, atol=2e-2,
+                                   err_msg=name)
+
+
+def test_flash_vjp_value_matches_primal():
+    """The custom_vjp fwd (LSE-saving kernel) must return the same output as
+    the inference kernel."""
+    b, hq, hkv, tq, s, d = 1, 4, 2, 128, 256, 64
+    kv_len, q_off = 192, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, hq, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+
+    primal = flash_attention_pallas(q, k, v, kv_len=kv_len, q_offset=q_off)
+    via_vjp, _ = jax.vjp(
+        lambda q, k, v: flash_attention_pallas(q, k, v, kv_len=kv_len,
+                                               q_offset=q_off), q, k, v)
+    np.testing.assert_allclose(np.asarray(via_vjp), np.asarray(primal),
+                               rtol=1e-5, atol=1e-5)

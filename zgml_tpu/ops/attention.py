@@ -159,9 +159,14 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         bk_eff //= 2
     lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
                       jnp.asarray(q_offset, jnp.int32).reshape(())])
-    out = _flash(qp.reshape(b * hq, tq_pad, d), k.reshape(b * hkv, s, d),
-                 v.reshape(b * hkv, s, d), lens,
-                 hq=hq, n_rep=n_rep, bq=bq_eff, bk=bk_eff, scale=1.0 / (d ** 0.5))
+    # route through the custom_vjp wrapper so jax.grad gets the Pallas
+    # FlashAttention-2 backward (zgml_tpu/ops/flash_vjp.py) instead of
+    # differentiating through the kernel (impossible) or the jnp ref
+    # (materializes O(T^2) scores). Zero overhead when not differentiating.
+    from zgml_tpu.ops.flash_vjp import make_flash_vjp
+    f = make_flash_vjp(hq, n_rep, bq_eff, bk_eff, 1.0 / (d ** 0.5))
+    out = f(qp.reshape(b * hq, tq_pad, d), k.reshape(b * hkv, s, d),
+            v.reshape(b * hkv, s, d), lens)
     return out.reshape(b, hq, tq_pad, d)[:, :, :tq]
 
 
