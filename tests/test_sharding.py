@@ -61,18 +61,17 @@ def test_tp_decode_matches_single_device(model):
 def test_tp_train_step_matches_single_device(model):
     """Sharded grads/update must equal the unsharded train step (Megatron
     _tp_copy exactness)."""
-    from zgml_tpu.ops.dispatch import force_ref
     from zgml_tpu.optim.sgd import sgd_update
 
     mesh = make_mesh(tp=4, dp=2)
     rng = np.random.default_rng(2)
     tokens = jnp.asarray(rng.integers(0, 256, (2, 9)), jnp.int32)
 
-    # single-device reference step
+    # single-device reference step (same kernel tier as the sharded step, so
+    # any mismatch is a *sharding* bug, not kernel-vs-oracle numerics)
     def loss_fn(params):
-        with force_ref():
-            logits, _ = model.forward(params, tokens[:, :-1],
-                                      model.init_cache(2), 0)
+        logits, _ = model.forward(params, tokens[:, :-1],
+                                  model.init_cache(2), 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, tokens[:, 1:][..., None], axis=-1)
         return jnp.mean(nll)

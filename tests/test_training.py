@@ -146,7 +146,6 @@ def test_llama_end_to_end_training():
     """Full llama training step path (the reference cannot train attention —
     backward.zig:393-404 panics; here jax.grad covers the whole model)."""
     from zgml_tpu.models.llama import LlamaConfig, LlamaModel, init_params
-    from zgml_tpu.ops.dispatch import force_ref
     cfg = LlamaConfig(vocab_size=64, d_model=32, n_heads=4, n_kv_heads=2,
                       d_ff=64, n_layers=2, max_seq_len=16, tied_lm_head=True)
     model = LlamaModel(cfg, init_params(cfg, seed=0))
@@ -155,8 +154,8 @@ def test_llama_end_to_end_training():
     seqs = np.stack([np.arange(i, i + 9) % 16 for i in rng.integers(0, 16, 64)])
 
     def loss_fn(params, x, y):
-        with force_ref():
-            logits, _ = model.forward(params, x, model.init_cache(x.shape[0]), 0)
+        # kernel tier stays on: flash attention trains through its Pallas VJP
+        logits, _ = model.forward(params, x, model.init_cache(x.shape[0]), 0)
         from zgml_tpu.nn.losses import cross_entropy_idx
         return cross_entropy_idx(logits[:, :-1], y[:, 1:])
 
@@ -167,7 +166,6 @@ def test_llama_end_to_end_training():
     assert losses[-1] < losses[0] * 0.3, losses[::10]
     # trained model predicts the pattern
     model2 = LlamaModel(cfg, p)
-    with force_ref():
-        logits, _ = model2.forward(p, jnp.asarray([[3, 4, 5, 6]], jnp.int32),
-                                   model2.init_cache(1), 0)
+    logits, _ = model2.forward(p, jnp.asarray([[3, 4, 5, 6]], jnp.int32),
+                               model2.init_cache(1), 0)
     assert int(np.argmax(np.asarray(logits[0, -1]))) == 7

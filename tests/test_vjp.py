@@ -50,6 +50,35 @@ def test_flash_vjp_matches_oracle(b, hq, hkv, tq, s, kv_len, q_off):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("kind,k,n,m", [
+    ("q8_0", 512, 384, 16),
+    ("q4_0", 512, 384, 16),
+    ("q4_0", 768, 256, 40),   # odd m (pad path), k not a multiple of 512
+])
+def test_qmatmul_vjp_matches_dequant(kind, k, n, m):
+    """dx through the Pallas transposed-dequant backward == g @ dequant(W).
+
+    The packed weight leaves are frozen (zero cotangent) — quantized weights
+    are inference-side constants in the reference too (src/quant.zig:200-630
+    has no backward for quantized mats)."""
+    from zgml_tpu.quant.repack import quantize_weight, dequant_packed
+    from zgml_tpu.ops.qmatmul import qmatmul_pallas
+
+    rng = np.random.default_rng(hash((kind, k, n, m)) % 2**32)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    pw = quantize_weight(w, kind)
+    wref = jnp.asarray(dequant_packed(pw))
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    dx = jax.grad(
+        lambda x: jnp.sum(qmatmul_pallas(x, pw, out_dtype=jnp.float32) * g))(x)
+    dx_ref = g @ wref
+    scale = float(jnp.max(jnp.abs(dx_ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(dx) / scale,
+                               np.asarray(dx_ref) / scale, atol=1e-5)
+
+
 def test_flash_vjp_value_matches_primal():
     """The custom_vjp fwd (LSE-saving kernel) must return the same output as
     the inference kernel."""

@@ -30,7 +30,6 @@ def main():
     from zgml_tpu.models.llama import LlamaConfig, LlamaModel, init_params
     from zgml_tpu.nn.losses import cross_entropy_idx
     from zgml_tpu.nn.train import train_supervised
-    from zgml_tpu.ops.dispatch import force_ref
     from zgml_tpu.optim.adam import AdamConfig
 
     cfg = LlamaConfig(vocab_size=64, d_model=args.d_model, n_heads=4,
@@ -42,8 +41,7 @@ def main():
                      for i in rng.integers(0, 32, 256)]).astype(np.int32)
 
     def loss_fn(params, x, y):
-        with force_ref():
-            logits, _ = model.forward(params, x, model.init_cache(x.shape[0]), 0)
+        logits, _ = model.forward(params, x, model.init_cache(x.shape[0]), 0)
         return cross_entropy_idx(logits[:, :-1], y[:, 1:])
 
     params, losses = train_supervised(

@@ -161,10 +161,10 @@ class ComputeGraph:
         names = [self.vars[i].name for i in idx]
 
         def grad_fn(**feeds):
-            from zgml_tpu.ops.dispatch import force_ref
+            # every Pallas op in the lowering carries a custom VJP (flash
+            # attention, qmatmul, fused chains), so jax.grad runs kernel-tier
             args = [feeds[v.name] for v in self.vars]
-            with force_ref():   # differentiable jnp tier (Pallas has no VJP)
-                gs = g(*args)
+            gs = g(*args)
             return dict(zip(names, gs))
 
         return grad_fn
@@ -176,10 +176,8 @@ class ComputeGraph:
         names = [self.vars[i].name for i in idx]
 
         def fn(**feeds):
-            from zgml_tpu.ops.dispatch import force_ref
             args = [feeds[v.name] for v in self.vars]
-            with force_ref():
-                val, gs = g(*args)
+            val, gs = g(*args)
             return val, dict(zip(names, gs))
 
         return fn

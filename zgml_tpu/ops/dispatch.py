@@ -25,8 +25,10 @@ _force_ref: contextvars.ContextVar[bool] = contextvars.ContextVar(
 
 @contextlib.contextmanager
 def force_ref():
-    """Route all ops to the differentiable jnp tier inside this trace context
-    (training paths use jax.grad; Pallas kernels carry no VJP yet)."""
+    """Route all ops to the jnp oracle tier inside this trace context.
+
+    Training no longer needs this (every Pallas op carries a custom VJP);
+    it remains as an A/B and oracle-comparison tool (conformance tests)."""
     tok = _force_ref.set(True)
     try:
         yield

@@ -28,7 +28,43 @@ def fused_chain(x: jax.Array, steps, side_inputs: list[jax.Array],
     steps: list of callables; step i is called as fn(acc) or fn(acc, side)
     when it consumes the next side input (binary step). Side inputs must be
     broadcast-compatible with x (same shape after the caller broadcasts).
+    Differentiable: the backward recomputes the chain with plain jnp ops
+    (the steps are jnp callables), so jax.grad through a fused graph works.
     """
+    return _chain_vjp(tuple(steps), bm, x, *side_inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _chain_vjp(steps, bm, x, *sides):
+    return _chain_impl(x, steps, list(sides), bm)
+
+
+def _chain_jnp(steps, x, *sides):
+    acc = x
+    si = 0
+    for fn, takes_side in steps:
+        if takes_side:
+            acc = fn(acc, jnp.broadcast_to(sides[si], x.shape))
+            si += 1
+        else:
+            acc = fn(acc)
+    return acc
+
+
+def _chain_fwd(steps, bm, x, *sides):
+    return _chain_vjp(steps, bm, x, *sides), (x, sides)
+
+
+def _chain_bwd(steps, bm, res, g):
+    x, sides = res
+    _, vjp = jax.vjp(lambda x, *s: _chain_jnp(steps, x, *s), x, *sides)
+    return vjp(g)
+
+
+_chain_vjp.defvjp(_chain_fwd, _chain_bwd)
+
+
+def _chain_impl(x: jax.Array, steps, side_inputs: list[jax.Array], bm: int):
     shape = x.shape
     n = 1
     for d in shape:

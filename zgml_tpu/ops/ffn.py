@@ -116,7 +116,56 @@ def ffn_compatible(gu: PackedWeight, wd: PackedWeight) -> bool:
 
 def fused_ffn_pallas(x: jax.Array, gu: PackedWeight, wd: PackedWeight,
                      out_dtype=jnp.float32) -> jax.Array:
-    """x [..., D] -> [..., D]: down(silu(gate(x)) * up(x)), one launch."""
+    """x [..., D] -> [..., D]: down(silu(gate(x)) * up(x)), one launch.
+
+    Differentiable: the backward recomputes via the separate-projection
+    composition, whose qmatmul VJP streams the packed weights through the
+    Pallas transposed-dequant kernels (weights frozen, zero cotangent)."""
+    import numpy as _np
+    gu_aux = (gu.kind, gu.n, gu.k, gu.n_pad, gu.k_pad)
+    wd_aux = (wd.kind, wd.n, wd.k, wd.n_pad, wd.k_pad)
+    return _ffn_diff((gu_aux, wd_aux, _np.dtype(out_dtype).name),
+                     x, gu.qvals, gu.scales, wd.qvals, wd.scales)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ffn_diff(meta, x, gu_q, gu_s, d_q, d_s):
+    gu_aux, wd_aux, out_dtype = meta
+    gu = PackedWeight(*gu_aux, gu_q, gu_s)
+    wd = PackedWeight(*wd_aux, d_q, d_s)
+    return _ffn_impl(x, gu, wd, jnp.dtype(out_dtype))
+
+
+def _ffn_diff_fwd(meta, x, gu_q, gu_s, d_q, d_s):
+    return _ffn_diff(meta, x, gu_q, gu_s, d_q, d_s), (x, gu_q, gu_s, d_q, d_s)
+
+
+def _ffn_diff_bwd(meta, res, g):
+    import numpy as _np
+    from zgml_tpu.ops.qmatmul import qmatmul_pallas
+    gu_aux, wd_aux, out_dtype = meta
+    x, gu_q, gu_s, d_q, d_s = res
+    gu = PackedWeight(*gu_aux, gu_q, gu_s)
+    wd = PackedWeight(*wd_aux, d_q, d_s)
+
+    def comp(x):
+        guo = qmatmul_pallas(x, gu, out_dtype=jnp.float32)
+        f = guo.shape[-1] // 2
+        gate, up = guo[..., :f], guo[..., f:]
+        act = up * (gate * jax.nn.sigmoid(gate))
+        return qmatmul_pallas(act, wd, out_dtype=jnp.dtype(out_dtype))
+
+    _, vjp = jax.vjp(comp, x)
+    (dx,) = vjp(g)
+    zero_i8 = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return (dx, zero_i8(gu_q), jnp.zeros_like(gu_s),
+            zero_i8(d_q), jnp.zeros_like(d_s))
+
+
+_ffn_diff.defvjp(_ffn_diff_fwd, _ffn_diff_bwd)
+
+
+def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k).astype(jnp.float32)

@@ -19,6 +19,8 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -134,6 +136,162 @@ def _q4_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
     )(x, x, qvals, scales, scales)
 
 
+# -- backward (transposed dequant-matmul) kernels -----------------------------
+#
+# dx = dy @ dequant(W)^T, with the weight still streamed packed from HBM and
+# dequantized in VMEM — training never materializes the f32 weight either.
+# The quantized weight itself is frozen (zero cotangent), matching the
+# reference where quantized tensors are inference-side constants
+# (ref: src/quant.zig:200-630 — no backward exists for quantized mats).
+
+def _q8_bwd_kernel(g_ref, q_ref, s_ref, dx_ref, acc_ref, *, n_n: int):
+    nb = pl.program_id(2)
+
+    @pl.when(nb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[:].astype(jnp.float32) * _expand_scales(s_ref[:])   # [bk, bn]
+    # dy [bm, bn] contract lanes with w [bk, bn] -> [bm, bk]
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(nb == n_n - 1)
+    def _():
+        dx_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def _q8_matmul_bwd(g, qvals, scales, *, bm: int, bn: int, bk: int):
+    m, n_pad = g.shape
+    k_pad, _ = qvals.shape
+    n_n = n_pad // bn
+    grid = (m // bm, k_pad // bk, n_n)
+    return pl.pallas_call(
+        functools.partial(_q8_bwd_kernel, n_n=n_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda mb, kb, nb: (mb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda mb, kb, nb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // QK, bn), lambda mb, kb, nb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda mb, kb, nb: (mb, kb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, k_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        interpret=_interpret(),
+    )(g, qvals, scales)
+
+
+def _q4_bwd_kernel(g_ref, q_ref, slo_ref, shi_ref, dlo_ref, dhi_ref,
+                   alo_ref, ahi_ref, *, n_n: int):
+    nb = pl.program_id(2)
+
+    @pl.when(nb == 0)
+    def _():
+        alo_ref[:] = jnp.zeros_like(alo_ref)
+        ahi_ref[:] = jnp.zeros_like(ahi_ref)
+
+    v = q_ref[:].astype(jnp.int32)
+    wlo = ((v & 15) - 8).astype(jnp.float32) * _expand_scales(slo_ref[:])
+    whi = (((v >> 4) & 15) - 8).astype(jnp.float32) * _expand_scales(shi_ref[:])
+    dn = (((1,), (1,)), ((), ()))
+    alo_ref[:] += jax.lax.dot_general(g_ref[:], wlo, dn,
+                                      preferred_element_type=jnp.float32)
+    ahi_ref[:] += jax.lax.dot_general(g_ref[:], whi, dn,
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(nb == n_n - 1)
+    def _():
+        dlo_ref[:] = alo_ref[:]
+        dhi_ref[:] = ahi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def _q4_matmul_bwd(g, qvals, scales, *, bm: int, bn: int, bk: int):
+    """Returns dx [m, k_pad] (lo-half columns then hi-half, matching the
+    planar half-split logical order k = [0, kh) ++ [kh, 2kh))."""
+    m, n_pad = g.shape
+    kh, _ = qvals.shape
+    n_n = n_pad // bn
+    n_k = kh // bk
+    grid = (m // bm, n_k, n_n)
+    dlo, dhi = pl.pallas_call(
+        functools.partial(_q4_bwd_kernel, n_n=n_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda mb, kb, nb: (mb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda mb, kb, nb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // QK, bn), lambda mb, kb, nb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // QK, bn), lambda mb, kb, nb: (kb + n_k, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bk), lambda mb, kb, nb: (mb, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda mb, kb, nb: (mb, kb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m, kh), jnp.float32),
+                   jax.ShapeDtypeStruct((m, kh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32),
+                        pltpu.VMEM((bm, bk), jnp.float32)],
+        interpret=_interpret(),
+    )(g, qvals, scales, scales)
+    return jnp.concatenate([dlo, dhi], axis=1)
+
+
+# -- differentiable wrapper ----------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qmm_diff(meta, x2, qvals, scales):
+    """Padded quantized matmul with a Pallas backward for dx.
+
+    meta = (kind, bm, bn, bk, out_dtype_name). The weight leaves get zero
+    cotangents: quantized weights are frozen constants in any training
+    configuration (QLoRA-style); differentiating through the rounding is
+    meaningless.
+    """
+    kind, bm, bn, bk, out_dtype = meta
+    if kind == "q8_0":
+        return _q8_matmul(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
+                          out_dtype=np.dtype(out_dtype))
+    return _q4_matmul(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
+                      out_dtype=np.dtype(out_dtype))
+
+
+def _qmm_diff_fwd(meta, x2, qvals, scales):
+    return _qmm_diff(meta, x2, qvals, scales), (qvals, scales)
+
+
+def _qmm_diff_bwd(meta, res, g):
+    kind, bm, bn, bk, _ = meta
+    qvals, scales = res
+    g = g.astype(jnp.float32)
+    m, n_pad = g.shape
+    bm_eff = m if m <= 512 else _choose_tile(m, 256, mult=8)
+    bn_eff = _choose_tile(n_pad, 512, mult=256)
+    if kind == "q8_0":
+        bk_eff = _choose_tile(qvals.shape[0], 512, mult=256)
+        dx = _q8_matmul_bwd(g, qvals, scales, bm=bm_eff, bn=bn_eff, bk=bk_eff)
+    else:
+        bk_eff = _choose_tile(qvals.shape[0], 512, mult=256)
+        dx = _q4_matmul_bwd(g, qvals, scales, bm=bm_eff, bn=bn_eff, bk=bk_eff)
+    return (dx,
+            np.zeros(qvals.shape, jax.dtypes.float0),
+            jnp.zeros_like(scales))
+
+
+_qmm_diff.defvjp(_qmm_diff_fwd, _qmm_diff_bwd)
+
+
 # -- public wrapper -----------------------------------------------------------
 
 def _round_up(v: int, m: int) -> int:
@@ -161,15 +319,14 @@ def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
     bm = m_pad if m_pad <= 512 else _choose_tile(m_pad, 256, mult=8)
     if pw.kind == "q8_0":
         bk_eff = _choose_tile(pw.k_pad, bk, mult=256)
-        out = _q8_matmul(x2, pw.qvals, pw.scales, bm=bm, bn=bn_eff, bk=bk_eff,
-                         out_dtype=out_dtype)
     elif pw.kind == "q4_0":
-        kh = pw.k_pad // 2
-        bk_eff = _choose_tile(kh, bk, mult=256)
-        out = _q4_matmul(x2, pw.qvals, pw.scales, bm=bm, bn=bn_eff, bk=bk_eff,
-                         out_dtype=out_dtype)
+        bk_eff = _choose_tile(pw.k_pad // 2, bk, mult=256)
     else:
         raise ValueError(pw.kind)
+    # routed through the custom_vjp wrapper so jax.grad reaches the Pallas
+    # transposed-dequant backward; zero overhead when not differentiating
+    out = _qmm_diff((pw.kind, bm, bn_eff, bk_eff, np.dtype(out_dtype).name),
+                    x2, pw.qvals, pw.scales)
     return out[:m, : pw.n].reshape(*lead, pw.n)
 
 

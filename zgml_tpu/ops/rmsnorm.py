@@ -45,7 +45,28 @@ def _rmsnorm2d(x, gamma2d, eps: float, bm: int, d_logical: int):
     )(x, gamma2d)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def rmsnorm_pallas(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
+    return _rmsnorm_impl(x, gamma, eps)
+
+
+def _rmsnorm_fwd(x, gamma, eps):
+    return _rmsnorm_impl(x, gamma, eps), (x, gamma)
+
+
+def _rmsnorm_bwd(eps, res, g):
+    # backward recomputes via the jnp composition — a norm row is a few KB, so
+    # the recompute is XLA-fusion fodder, not a kernel's worth of work
+    from zgml_tpu.ops import refs
+    x, gamma = res
+    _, vjp = jax.vjp(lambda x, gm: refs.rmsnorm_ref(x, gm, eps), x, gamma)
+    return vjp(g)
+
+
+rmsnorm_pallas.defvjp(_rmsnorm_fwd, _rmsnorm_bwd)
+
+
+def _rmsnorm_impl(x: jax.Array, gamma: jax.Array, eps: float) -> jax.Array:
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)

@@ -244,11 +244,10 @@ def make_sharded_train_step(model: LlamaModel, mesh: Mesh, optimizer=None):
     """jit(shard_map(train_step)): full dp+tp training step.
 
     Next-token LM loss over a [B, T] batch; grads psum'ed over dp (and over tp
-    for replicated leaves); SGD update by default. Runs the XLA (ref) op tier —
-    training uses dense weights and jax.grad (the reference's missing attention
-    backward, backward.zig:393-404, comes for free here).
+    for replicated leaves); SGD update by default. Runs the kernel tier:
+    flash attention and qmatmul carry Pallas custom VJPs (the reference's
+    attention backward panics, backward.zig:393-404 — here it's a kernel).
     """
-    from zgml_tpu.ops.dispatch import force_ref
     from zgml_tpu.optim.sgd import sgd_update
 
     tp = mesh.shape["tp"]
@@ -256,9 +255,8 @@ def make_sharded_train_step(model: LlamaModel, mesh: Mesh, optimizer=None):
     pspecs = llama_param_specs(model.params)
 
     def loss_fn(params, tokens, cache):
-        with force_ref():
-            logits, _ = model.forward(params, tokens[:, :-1], cache, 0,
-                                      tp_axis="tp", tp_size=tp)
+        logits, _ = model.forward(params, tokens[:, :-1], cache, 0,
+                                  tp_axis="tp", tp_size=tp)
         targets = tokens[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
