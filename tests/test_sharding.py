@@ -229,3 +229,74 @@ def test_pp_forward_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_cache["k"]),
                                np.asarray(want_cache["k"]),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pp_microbatch_flops_scale_down():
+    """GPipe schedule: per-device FLOPs ~= (M+pp-1)/(M*pp) of sequential —
+    the schedule does REAL pipelining, not everyone-computes-every-cycle
+    (which would be ~1.0 here)."""
+    from zgml_tpu.parallel.pp import make_pp_forward, shard_pp_params
+    cfg = LlamaConfig(vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, n_layers=8, max_seq_len=32)
+    model = LlamaModel(cfg, init_params(cfg, seed=4))
+    b, t, m = 8, 16, 8
+    tokens = jnp.asarray(np.random.default_rng(6).integers(0, 128, (b, t)),
+                         jnp.int32)
+    mesh = make_mesh(tp=4, dp=2, axis_names=("dp", "pp"))
+    pp = 4
+
+    fwd = make_pp_forward(model, mesh, n_micro=m)
+    params = shard_pp_params(model.params, mesh)
+    pp_cost = fwd.lower(params, tokens, model.init_cache(b), 0) \
+                 .compile().cost_analysis()
+    seq_cost = jax.jit(model.forward).lower(
+        model.params, tokens, model.init_cache(b), 0) \
+        .compile().cost_analysis()
+    ratio = pp_cost["flops"] / seq_cost["flops"]
+    ideal = (m + pp - 1) / (m * pp)             # 0.34 for M=8, pp=4
+    # allow for replicated embed/lm_head compute on every stage
+    assert ratio < 0.6, (ratio, ideal)
+    # and the outputs still match the unsharded model
+    got, _ = fwd(params, tokens, model.init_cache(b), 0)
+    want, _ = model.forward(model.params, tokens, model.init_cache(b), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pp_train_step_matches_single_device():
+    """Pipelined GPipe training step == single-device step (exact grads via
+    the _pp_ingest/_pp_collect boundary ops, incl. the tied-embedding path)."""
+    from zgml_tpu.parallel.pp import make_pp_train_step, shard_pp_params
+    from zgml_tpu.optim.sgd import sgd_update
+    cfg = LlamaConfig(vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, n_layers=4, max_seq_len=32, tied_lm_head=True)
+    model = LlamaModel(cfg, init_params(cfg, seed=7))
+    b = 8
+    tokens = jnp.asarray(np.random.default_rng(9).integers(0, 128, (b, 10)),
+                         jnp.int32)
+    mesh = make_mesh(tp=4, dp=2, axis_names=("dp", "pp"))
+
+    def loss_fn(params):
+        logits, _ = model.forward(params, tokens[:, :-1],
+                                  model.init_cache(b), 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:][..., None], axis=-1)
+        return jnp.mean(nll)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(model.params)
+    ref_params = sgd_update(model.params, ref_grads, 0.1)
+
+    step = make_pp_train_step(model, mesh, n_micro=4)
+    params = shard_pp_params(model.params, mesh)
+    loss, new_params = step(params, tokens, model.init_cache(b), 0.1)
+
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    for name in ("tok_embd", "out_norm"):
+        np.testing.assert_allclose(np.asarray(new_params[name]),
+                                   np.asarray(ref_params[name]),
+                                   rtol=1e-3, atol=1e-5)
+    for leaf_name in ("wq", "w_down", "attn_norm"):
+        np.testing.assert_allclose(
+            np.asarray(new_params["layers"][leaf_name]),
+            np.asarray(ref_params["layers"][leaf_name]),
+            rtol=1e-3, atol=1e-5, err_msg=leaf_name)
