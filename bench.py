@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
                     help="KV cache dtype")
+    ap.add_argument("--kernel-profile", action="store_true",
+                    help="per-kernel device timing at model shapes (stderr)")
     args = ap.parse_args()
 
     import dataclasses
@@ -95,6 +97,13 @@ def main():
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")
 
     import jax.numpy as jnp
+    if args.kernel_profile:
+        from zgml_tpu.runtime.ktime import (profile_decode_kernels,
+                                            render_kernel_profile)
+        kv_mid_kp = args.pp + (args.tg or 128) // 2
+        log(render_kernel_profile(
+            profile_decode_kernels(model, kv_len=min(kv_mid_kp,
+                                                     cfg.max_seq_len - 1))))
     cache_dtype = "int8" if args.kv == "int8" else jnp.bfloat16
     eng = LlamaEngine(model, batch=1, prefill_chunk=min(args.pp, 128),
                       cache_dtype=cache_dtype)
@@ -184,14 +193,21 @@ def main():
         f"-> achievable {roof['achievable_tok_s']:.1f} tok/s; "
         f"achieved {tg_rate:.1f} ({100*roof_frac:.1f}%)")
 
-    baseline_decode = 208.0  # zgml tg200, BASELINE.md
+    # vs_baseline semantics: the reference's only absolute decode number is
+    # SmolLM-135M on Apple Silicon (208 tok/s, BASELINE.md) — only comparable
+    # for the smollm preset. For 1B/7B shapes the BASELINE gate is the HBM
+    # roofline (>=90%), so vs_baseline = roofline_frac / 0.90 (1.0 = gate met).
+    if args.preset == "smollm":
+        vs_baseline = tg_rate / 208.0
+    else:
+        vs_baseline = roof_frac / 0.90
     name = {"smollm": "SmolLM-135M", "tinyllama": "TinyLlama-1.1B",
             "llama2-7b": "Llama-2-7B", "tiny": "tiny"}[args.preset]
     print(json.dumps({
         "metric": f"decode tok/s ({name}-shape {args.quant.upper()}, bs=1, tg{args.tg})",
         "value": round(tg_rate, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tg_rate / baseline_decode, 3),
+        "vs_baseline": round(vs_baseline, 3),
         "roofline_frac": round(roof_frac, 3),
         "roofline_tok_s": round(roof["achievable_tok_s"], 1),
         "hbm_GBs": round(roof["hbm_bandwidth_GBs"], 1),

@@ -68,3 +68,40 @@ def test_profile_program_census(model):
     assert prof["n_eqns"] > 10
     assert prof["custom_calls"] >= model.cfg.n_layers  # pallas kernels visible
     assert prof["input_bytes"] > 0
+
+
+def test_kernel_profile_rows(model):
+    """ktime.profile_decode_kernels: every decode kernel appears with a
+    nonzero time and the accounting reconciles (RuntimeProfile analog,
+    ref profile.zig:820-910)."""
+    from zgml_tpu.runtime.ktime import (profile_decode_kernels,
+                                        render_kernel_profile)
+    rows = profile_decode_kernels(model, kv_len=16, reps=3)
+    names = {r["name"] for r in rows}
+    assert "decode_attention" in names
+    assert any(n.startswith("lm_head") for n in names)
+    assert "full decode step" in names
+    assert "unaccounted (dispatch+glue)" in names
+    proj_rows = [r for r in rows if r["name"] in
+                 ("wq", "wk", "wv", "wo", "wqkv", "w_gate_up", "w_gate",
+                  "w_up", "w_down")]
+    assert len(proj_rows) >= 3
+    for r in rows:
+        if r["name"] != "unaccounted (dispatch+glue)":
+            assert r["us_call"] > 0, r
+    assert "GB/s" in render_kernel_profile(rows)
+
+
+def test_no_silent_fallback_placement(model):
+    """Acceptance rule 3 as a CI assert: an engine decode must be served by
+    the Pallas tier for its hot ops (not the jnp ref fallback)."""
+    from zgml_tpu.runtime.profile import global_profile
+    global_profile.reset()
+    eng = LlamaEngine(model, batch=1)
+    eng.prefill(np.arange(8, dtype=np.int32))
+    eng.step(np.array([1]))
+    tiers = global_profile.tier_summary()
+    assert tiers.get("attention", {}).get("pallas", 0) >= 1, tiers
+    assert tiers.get("decode_attention", {}).get("pallas", 0) >= 1, tiers
+    assert "ref" not in tiers.get("attention", {}), tiers
+    assert "ref" not in tiers.get("decode_attention", {}), tiers

@@ -300,3 +300,41 @@ def test_pp_train_step_matches_single_device():
             np.asarray(new_params["layers"][leaf_name]),
             np.asarray(ref_params["layers"][leaf_name]),
             rtol=1e-3, atol=1e-5, err_msg=leaf_name)
+
+
+def test_cp_prefill_2048_matches_single_device():
+    """Engine context-parallel prefill: a 2048-token prompt sharded 8 ways
+    (ring attention over 'cp') == single-device forward, and decode continues
+    on the engine's normal path afterwards."""
+    from zgml_tpu.ops.dispatch import force_ref
+    from zgml_tpu.runtime.engine import LlamaEngine
+    cfg = LlamaConfig(vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, n_layers=2, max_seq_len=2056)
+    model = LlamaModel(cfg, init_params(cfg, seed=11))
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, 128, 2048).astype(np.int32)
+    mesh = make_mesh(tp=8, dp=1, axis_names=("dp", "cp"))
+
+    eng = LlamaEngine(model, batch=1)
+    last = eng.prefill_cp(prompt, mesh)
+
+    with force_ref():
+        ref_logits, ref_cache = model.forward(
+            model.params, jnp.asarray(prompt)[None], model.init_cache(1), 0)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(ref_logits[:, -1]),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(eng.cache["k"][:, :, :, :2048]).astype(np.float32),
+        np.asarray(ref_cache["k"][:, :, :, :2048]).astype(np.float32),
+        rtol=2e-2, atol=2e-2)
+
+    # decode continues from the cp-prefilled cache
+    nxt_tok = int(np.argmax(np.asarray(last[0])))
+    _, step_logits = eng.step(np.array([nxt_tok]))
+    with force_ref():
+        ref_step, _ = model.forward(model.params,
+                                    jnp.asarray([[nxt_tok]], jnp.int32),
+                                    ref_cache, 2048)
+    np.testing.assert_allclose(np.asarray(step_logits),
+                               np.asarray(ref_step[:, -1]),
+                               rtol=2e-2, atol=2e-2)

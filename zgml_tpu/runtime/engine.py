@@ -111,6 +111,54 @@ class LlamaEngine:
         global_profile.add("prefill_tokens", int(t) * b)
         return last
 
+    def prefill_cp(self, tokens: np.ndarray | list[int], mesh,
+                   axis: str = "cp") -> jax.Array:
+        """Context-parallel one-shot prefill (ring attention over `axis`).
+
+        The prompt's sequence axis and the O(T²) prefill FLOPs split across
+        the cp devices (parallel/cp.py); the gathered per-layer KV lands in
+        this engine's cache and decode continues on the normal path. Enables
+        prefilling prompts whose attention working set exceeds one chip.
+        Requires a fresh session (pos == 0) and a bf16 cache.
+        """
+        tokens = np.atleast_2d(np.asarray(tokens, np.int32))
+        b, t = tokens.shape
+        assert b == self.batch, f"engine batch {self.batch}, got {b}"
+        if self.pos != 0:
+            raise ValueError("prefill_cp requires a fresh session (pos==0)")
+        if t > self.cfg.max_seq_len:
+            raise ValueError("SequenceTooLong")
+        ck = self.cache["k"]
+        if isinstance(ck, list) and isinstance(ck[0], tuple):
+            raise NotImplementedError("prefill_cp with int8 KV cache")
+        from zgml_tpu.parallel.cp import make_cp_prefill
+        cp = mesh.shape[axis]
+        t_pad = -(-t // cp) * cp
+        toks = np.pad(tokens, ((0, 0), (0, t_pad - t)))
+        key = (id(mesh), axis, t_pad)
+        if getattr(self, "_cp_plan", None) is None or self._cp_plan[0] != key:
+            self._cp_plan = (key, make_cp_prefill(self.model, mesh, axis))
+        with global_profile.phase("prefill_cp"):
+            logits, ks, vs = self._cp_plan[1](self.model.params,
+                                              jnp.asarray(toks))
+            ks, vs = ks[:, :, :, :t], vs[:, :, :, :t]
+            if isinstance(ck, list):
+                for li in range(self.cfg.n_layers):
+                    self.cache["k"][li] = jax.lax.dynamic_update_slice_in_dim(
+                        self.cache["k"][li], ks[li].astype(ck[li].dtype),
+                        0, axis=2)
+                    self.cache["v"][li] = jax.lax.dynamic_update_slice_in_dim(
+                        self.cache["v"][li], vs[li].astype(ck[li].dtype),
+                        0, axis=2)
+            else:
+                self.cache["k"] = jax.lax.dynamic_update_slice_in_dim(
+                    self.cache["k"], ks.astype(ck.dtype), 0, axis=3)
+                self.cache["v"] = jax.lax.dynamic_update_slice_in_dim(
+                    self.cache["v"], vs.astype(ck.dtype), 0, axis=3)
+        self.pos = t
+        global_profile.add("prefill_tokens", int(t) * b)
+        return logits[:, t - 1]
+
     def step(self, tokens: np.ndarray | list[int] | jax.Array) -> tuple[jax.Array, jax.Array]:
         """One decode step. tokens: [B] last generated ids.
 

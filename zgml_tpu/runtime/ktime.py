@@ -1,0 +1,160 @@
+"""Per-kernel device-time profiling for the decode hot path.
+
+The analog of the reference's RuntimeProfile (src/profile.zig:820-910), which
+accumulates per-op-tag nanoseconds inside the backend so a slow kernel is
+visible, not hidden behind "the backend served it". XLA gives no per-op hook,
+so this times each kernel *in isolation at its real model shapes* (chained
+dispatch, value-fetch barrier — tunnel-safe) and reconciles the sum against
+the measured full decode step: the "unaccounted" row is dispatch overhead +
+XLA-tier glue. Used by `bench.py --kernel-profile` and the acceptance rule
+"fast paths visible in profiles" (ref docs/perf-targets.md:52-54).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zgml_tpu.quant.repack import PackedWeight
+
+
+def time_call(f, x0, *rest, reps: int = 30) -> float:
+    """Mean seconds/call of f(x0, *rest), with the reps run back-to-back ON
+    DEVICE inside one lax.scan dispatch.
+
+    Host-side per-dispatch overhead through the axon tunnel is ~2 ms — larger
+    than most kernels — so a python rep loop measures the tunnel, not the
+    kernel (measured: a 10 MB GEMV "took" 2.5 ms host-looped). The scan chains
+    iterations via a denormal-scaled output fold (serial dependency, no CSE),
+    so the measured window is pure device time. x0 must be a float array (the
+    fold target); the warmup value-fetches because block_until_ready returns
+    early through the tunnel."""
+    @jax.jit
+    def loop(x, *rest):
+        def body(x, _):
+            out = f(x, *rest)
+            leaf = jax.tree.leaves(out)[0]
+            dep = leaf.ravel()[0].astype(x.dtype) * 1e-30
+            return x + dep, ()
+        x, _ = jax.lax.scan(body, x, length=reps)
+        return x
+
+    for _ in range(2):
+        float(np.asarray(loop(x0, *rest)).ravel()[0])
+    t0 = time.time()
+    float(np.asarray(loop(x0, *rest)).ravel()[0])
+    return (time.time() - t0) / reps
+
+
+def _layer0(leaf):
+    """One layer's slice of a stacked ([L, ...]) weight leaf."""
+    if isinstance(leaf, PackedWeight):
+        if getattr(leaf.qvals, "ndim", 2) == 3:
+            return dataclasses.replace(leaf, qvals=leaf.qvals[0],
+                                       scales=leaf.scales[0])
+        return leaf
+    return leaf[0] if getattr(leaf, "ndim", 2) == 3 else leaf
+
+
+def _leaf_bytes(leaf) -> int:
+    if isinstance(leaf, PackedWeight):
+        return leaf.nbytes
+    return int(np.prod(leaf.shape)) * jnp.dtype(leaf.dtype).itemsize
+
+
+def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
+                           reps: int = 30) -> list[dict]:
+    """Time every decode-step kernel at its real shapes.
+
+    Returns rows {name, shape, us_call, calls_tok, us_tok, mb_call, gbs} plus
+    a measured `full decode step` row and the derived `unaccounted` residue.
+    """
+    from zgml_tpu.ops import dispatch as ops
+
+    cfg = model.cfg
+    L = cfg.n_layers
+    rng = np.random.default_rng(0)
+    rows: list[dict] = []
+
+    def add(name, shape, dt, calls, nbytes):
+        rows.append({
+            "name": name, "shape": shape, "us_call": dt * 1e6,
+            "calls_tok": calls, "us_tok": dt * 1e6 * calls,
+            "mb_call": nbytes / 1e6,
+            "gbs": (nbytes / dt / 1e9) if dt > 0 else 0.0,
+        })
+
+    # -- per-layer projections (one layer's weights, x L calls/token) --------
+    layers = model.params["layers"]
+    layer0 = (layers[0] if isinstance(layers, (list, tuple))
+              else {n: _layer0(leaf) for n, leaf in layers.items()})
+    proj_names = [n for n in layer0 if n not in ("attn_norm", "ffn_norm")]
+    for name in proj_names:
+        w = layer0[name]
+        if isinstance(w, PackedWeight):
+            k, n = w.k, w.n
+        else:
+            k, n = int(w.shape[0]), int(w.shape[1])
+        x = jnp.asarray(rng.standard_normal((batch, 1, k)), jnp.float32)
+        dt = time_call(lambda x, w=w: ops.qmatmul(x, w), x, reps=reps)
+        add(name, f"[{k}x{n}]", dt, L, _leaf_bytes(w))
+
+    # -- decode attention over the live cache prefix -------------------------
+    hq, hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    s = cfg.max_seq_len
+    q = jnp.asarray(rng.standard_normal((batch, hq, 1, hd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((batch, hkv, s, hd)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((batch, hkv, s, hd)), jnp.bfloat16)
+    lens = jnp.full((batch,), kv_len, jnp.int32)
+    dt = time_call(lambda q, k, v, l: ops.decode_attention(q, k, v, l),
+                   q, kc, vc, lens, reps=reps)
+    kv_bytes = 2 * batch * hkv * kv_len * hd * 2     # live K+V, bf16
+    add("decode_attention", f"[kv={kv_len}/{s}]", dt, L, kv_bytes)
+
+    # -- lm head -------------------------------------------------------------
+    head = model.params.get("lm_head")
+    d = cfg.d_model
+    h = jnp.asarray(rng.standard_normal((batch, 1, d)), jnp.float32)
+    if head is None:
+        emb = model.params["tok_embd"]
+        dt = time_call(lambda h: jnp.einsum(
+            "btd,vd->btv", h, emb.astype(jnp.float32)), h, reps=reps)
+        add("lm_head(tied)", f"[{d}x{cfg.vocab_size}]", dt, 1,
+            _leaf_bytes(emb))
+    else:
+        dt = time_call(lambda h: ops.qmatmul(h, head), h, reps=reps)
+        add("lm_head", f"[{d}x{cfg.vocab_size}]", dt, 1, _leaf_bytes(head))
+
+    # -- the full measured step + residue ------------------------------------
+    cache = model.init_cache(batch)
+
+    def step_fn(xf, cache):
+        # xf is loop-variant (carries the dep fold), so tok can't be hoisted
+        # out of the timing scan; its value stays 0
+        tok = jnp.abs(xf[:, :1]).astype(jnp.int32) % cfg.vocab_size
+        logits, _ = model.forward(model.params, tok, cache, kv_len)
+        return logits
+
+    x0 = jnp.zeros((batch, 2), jnp.float32)
+    dt_step = time_call(step_fn, x0, cache, reps=reps)
+    accounted = sum(r["us_tok"] for r in rows)
+    add("full decode step", "", dt_step, 1, 0)
+    rows.append({"name": "unaccounted (dispatch+glue)", "shape": "",
+                 "us_call": dt_step * 1e6 - accounted, "calls_tok": 1,
+                 "us_tok": dt_step * 1e6 - accounted, "mb_call": 0.0,
+                 "gbs": 0.0})
+    return rows
+
+
+def render_kernel_profile(rows: list[dict]) -> str:
+    out = [f"{'kernel':28s} {'shape':16s} {'us/call':>9s} {'x/tok':>6s} "
+           f"{'us/tok':>9s} {'MB':>8s} {'GB/s':>7s}"]
+    for r in rows:
+        out.append(
+            f"{r['name']:28s} {r['shape']:16s} {r['us_call']:9.1f} "
+            f"{r['calls_tok']:6d} {r['us_tok']:9.1f} {r['mb_call']:8.1f} "
+            f"{r['gbs']:7.1f}")
+    return "\n".join(out)
