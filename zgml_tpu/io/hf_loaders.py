@@ -101,3 +101,101 @@ def load_gpt2_hf(path: str, cfg: GPTConfig, prefix: str = "") -> GPTModel:
     }
     st.close()
     return GPTModel(cfg, params)
+
+
+def load_whisper_hf(path: str, cfg=None):
+    """Load a HuggingFace Whisper safetensors checkpoint
+    (ref: src/models/whisper_loader.zig:1-117 — same name map; 2D weights
+    transpose from HF [out, in] to this framework's [in, out]).
+
+    cfg: WhisperConfig; if None it is inferred from tensor shapes.
+    """
+    from zgml_tpu.models.whisper import WhisperConfig, WhisperModel
+
+    st = SafetensorsFile(path)
+    names = set(st.keys())
+
+    def get(name):
+        return st.tensor(name)
+
+    def ln(prefix):
+        return {"g": jnp.asarray(get(prefix + ".weight"), jnp.float32),
+                "b": jnp.asarray(get(prefix + ".bias"), jnp.float32)}
+
+    def attn(prefix):
+        # HF whisper: q/v have biases, k does not (matches _attn_params)
+        return {
+            "wq": _t(get(prefix + ".q_proj.weight")),
+            "bq": jnp.asarray(get(prefix + ".q_proj.bias"), jnp.float32),
+            "wk": _t(get(prefix + ".k_proj.weight")),
+            "wv": _t(get(prefix + ".v_proj.weight")),
+            "bv": jnp.asarray(get(prefix + ".v_proj.bias"), jnp.float32),
+            "wo": _t(get(prefix + ".out_proj.weight")),
+            "bo": jnp.asarray(get(prefix + ".out_proj.bias"), jnp.float32),
+        }
+
+    def block(prefix, cross: bool):
+        lyr = {
+            "ln_1": ln(prefix + ".self_attn_layer_norm"),
+            "attn": attn(prefix + ".self_attn"),
+            "ln_2": ln(prefix + ".final_layer_norm"),
+            "w_fc": _t(get(prefix + ".fc1.weight")),
+            "b_fc": jnp.asarray(get(prefix + ".fc1.bias"), jnp.float32),
+            "w_proj": _t(get(prefix + ".fc2.weight")),
+            "b_proj": jnp.asarray(get(prefix + ".fc2.bias"), jnp.float32),
+        }
+        if cross:
+            lyr["ln_x"] = ln(prefix + ".encoder_attn_layer_norm")
+            lyr["cross"] = attn(prefix + ".encoder_attn")
+        return lyr
+
+    n_enc = len({n.split(".")[3] for n in names
+                 if n.startswith("model.encoder.layers.")})
+    n_dec = len({n.split(".")[3] for n in names
+                 if n.startswith("model.decoder.layers.")})
+    conv1_w = np.asarray(get("model.encoder.conv1.weight"), np.float32)
+    tok = np.asarray(get("model.decoder.embed_tokens.weight"), np.float32)
+    pos_dec = np.asarray(get("model.decoder.embed_positions.weight"),
+                         np.float32)
+    pos_enc = np.asarray(get("model.encoder.embed_positions.weight"),
+                         np.float32)
+    d_model, n_mels = conv1_w.shape[0], conv1_w.shape[1]
+    if cfg is None:
+        # head counts live in HF config.json (not derivable from shapes)
+        import json
+        import os
+        heads_enc = heads_dec = max(1, d_model // 64)
+        cfg_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                hf = json.load(f)
+            heads_enc = hf.get("encoder_attention_heads", heads_enc)
+            heads_dec = hf.get("decoder_attention_heads", heads_dec)
+        cfg = WhisperConfig(
+            n_mels=n_mels, n_audio_ctx=pos_enc.shape[0],
+            n_audio_state=d_model, n_audio_heads=heads_enc,
+            n_audio_layers=n_enc,
+            vocab_size=tok.shape[0], n_text_ctx=pos_dec.shape[0],
+            n_text_state=d_model, n_text_heads=heads_dec,
+            n_text_layers=n_dec)
+
+    params = {
+        # HF conv [out, in, k] -> lax "WIO" [k, in, out]
+        "conv1_w": jnp.asarray(conv1_w.transpose(2, 1, 0)),
+        "conv1_b": jnp.asarray(get("model.encoder.conv1.bias"), jnp.float32),
+        "conv2_w": jnp.asarray(np.asarray(get("model.encoder.conv2.weight"),
+                                          np.float32).transpose(2, 1, 0)),
+        "conv2_b": jnp.asarray(get("model.encoder.conv2.bias"), jnp.float32),
+        "enc_pos_embd": jnp.asarray(pos_enc),
+        "enc_ln_post": ln("model.encoder.layer_norm"),
+        "enc_layers": [block(f"model.encoder.layers.{i}", cross=False)
+                       for i in range(cfg.n_audio_layers)],
+        "tok_embd": jnp.asarray(tok),
+        "pos_embd": jnp.asarray(pos_dec),
+        "dec_ln": ln("model.decoder.layer_norm"),
+        "dec_layers": [block(f"model.decoder.layers.{i}", cross=True)
+                       for i in range(cfg.n_text_layers)],
+    }
+    st.close()
+    return WhisperModel(cfg, params)

@@ -113,7 +113,10 @@ class WhisperModel:
             dimension_numbers=("NWC", "WIO", "NWC")) + p["conv2_b"]
         x = jax.nn.gelu(x)
         t = x.shape[1]
-        x = x + self._audio_pos[:t]
+        # HF checkpoints carry the (sinusoidal) encoder positions explicitly;
+        # synthesized params fall back to the generated table
+        pos = p.get("enc_pos_embd", self._audio_pos)
+        x = x + pos[:t]
         for lyr in p["enc_layers"]:
             h = refs.layernorm_ref(x, lyr["ln_1"]["g"], lyr["ln_1"]["b"], cfg.eps)
             x = x + _mha(lyr["attn"], h, h, cfg.n_audio_heads, causal=False)
@@ -127,8 +130,9 @@ class WhisperModel:
     def decode(self, tokens: jax.Array, enc_states: jax.Array) -> jax.Array:
         """tokens [B, T], enc_states [B, Ta, d] -> logits [B, T, vocab].
 
-        Full-sequence decode (no KV cache yet — the reference's decoder is also
-        stateless per call, whisper.zig decode)."""
+        Full-sequence decode (the reference's decoder is stateless per call,
+        whisper.zig decode — this is the oracle; generation uses the cached
+        decode_step below, which the reference lacks)."""
         cfg = self.cfg
         p = self.params
         b, t = tokens.shape
@@ -144,13 +148,96 @@ class WhisperModel:
         x = refs.layernorm_ref(x, p["dec_ln"]["g"], p["dec_ln"]["b"], cfg.eps)
         return jnp.einsum("btd,vd->btv", x, p["tok_embd"])
 
+    # -- cached decoding (beyond the reference: whisper.zig re-runs the full
+    #    sequence per generated token; here self-attention K/V cache + one-time
+    #    cross-attention K/V precompute make each step O(1) in sequence) ------
+    def init_cache(self, batch: int, dtype=jnp.float32) -> dict:
+        cfg = self.cfg
+        h, hd = cfg.n_text_heads, cfg.text_head_dim
+        shape = (batch, h, cfg.n_text_ctx, hd)
+        L = cfg.n_text_layers
+        return {"k": [jnp.zeros(shape, dtype) for _ in range(L)],
+                "v": [jnp.zeros(shape, dtype) for _ in range(L)]}
+
+    def precompute_cross_kv(self, enc_states: jax.Array) -> list:
+        """Per decoder layer: (K, V) over the encoder states [B, H, Ta, hd] —
+        computed once per utterance instead of once per generated token."""
+        cfg = self.cfg
+        b, ta, _ = enc_states.shape
+        h, hd = cfg.n_text_heads, cfg.text_head_dim
+        out = []
+        for lyr in self.params["dec_layers"]:
+            p = lyr["cross"]
+            k = (enc_states @ p["wk"]).reshape(b, ta, h, hd).transpose(0, 2, 1, 3)
+            v = (enc_states @ p["wv"] + p["bv"]).reshape(b, ta, h, hd) \
+                .transpose(0, 2, 1, 3)
+            out.append((k, v))
+        return out
+
+    def decode_step(self, tokens: jax.Array, cross_kv: list, cache: dict,
+                    pos) -> tuple[jax.Array, dict]:
+        """One cached decode step. tokens [B, 1] -> (logits [B, vocab], cache).
+
+        Self-attention reads the cache prefix through the Pallas decode kernel
+        (ops.decode_attention), as does cross-attention over the precomputed
+        encoder K/V — the whisper decoder rides the same TPU decode path as
+        the llama engine."""
+        from zgml_tpu.ops import dispatch as ops
+        cfg = self.cfg
+        p = self.params
+        b = tokens.shape[0]
+        h, hd = cfg.n_text_heads, cfg.text_head_dim
+        x = jnp.take(p["tok_embd"], tokens, axis=0) \
+            + jax.lax.dynamic_slice_in_dim(p["pos_embd"], pos, 1, axis=0)
+        kv_len = pos + 1
+        for li, lyr in enumerate(p["dec_layers"]):
+            a = lyr["attn"]
+            hh = refs.layernorm_ref(x, lyr["ln_1"]["g"], lyr["ln_1"]["b"],
+                                    cfg.eps)
+            q = (hh @ a["wq"] + a["bq"]).reshape(b, 1, h, hd) \
+                .transpose(0, 2, 1, 3)
+            k = (hh @ a["wk"]).reshape(b, 1, h, hd).transpose(0, 2, 1, 3)
+            v = (hh @ a["wv"] + a["bv"]).reshape(b, 1, h, hd) \
+                .transpose(0, 2, 1, 3)
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"][li], k.astype(cache["k"][li].dtype), (0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"][li], v.astype(cache["v"][li].dtype), (0, 0, pos, 0))
+            cache["k"][li], cache["v"][li] = ck, cv
+            att = ops.decode_attention(q, ck, cv, kv_len)
+            att = att.transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
+            x = x + (att @ a["wo"] + a["bo"])
+
+            c = lyr["cross"]
+            hh = refs.layernorm_ref(x, lyr["ln_x"]["g"], lyr["ln_x"]["b"],
+                                    cfg.eps)
+            qx = (hh @ c["wq"] + c["bq"]).reshape(b, 1, h, hd) \
+                .transpose(0, 2, 1, 3)
+            ek, ev = cross_kv[li]
+            xatt = ops.decode_attention(qx, ek, ev, ek.shape[2])
+            xatt = xatt.transpose(0, 2, 1, 3).reshape(b, 1, h * hd)
+            x = x + (xatt @ c["wo"] + c["bo"])
+
+            hh = refs.layernorm_ref(x, lyr["ln_2"]["g"], lyr["ln_2"]["b"],
+                                    cfg.eps)
+            x = x + jax.nn.gelu(hh @ lyr["w_fc"] + lyr["b_fc"]) \
+                @ lyr["w_proj"] + lyr["b_proj"]
+        x = refs.layernorm_ref(x, p["dec_ln"]["g"], p["dec_ln"]["b"], cfg.eps)
+        return jnp.einsum("btd,vd->btv", x, p["tok_embd"])[:, 0], cache
+
     def transcribe_greedy(self, mel: jax.Array, bos: int, eos: int,
                           max_tokens: int = 32) -> list[int]:
+        """Greedy transcription on the cached decode path (jitted step)."""
         enc = self.encode_features(mel)
+        cross_kv = self.precompute_cross_kv(enc)
+        cache = self.init_cache(mel.shape[0])
+        if not hasattr(self, "_step_jit"):
+            self._step_jit = jax.jit(self.decode_step, donate_argnums=(2,))
         toks = [bos]
-        for _ in range(max_tokens):
-            logits = self.decode(jnp.asarray([toks], jnp.int32), enc)
-            nxt = int(jnp.argmax(logits[0, -1]))
+        for i in range(max_tokens):
+            logits, cache = self._step_jit(
+                jnp.asarray([[toks[-1]]], jnp.int32), cross_kv, cache, i)
+            nxt = int(jnp.argmax(logits[0]))
             toks.append(nxt)
             if nxt == eos:
                 break
