@@ -150,3 +150,54 @@ def test_tokenizer_roundtrip():
     ids = tok.encode("hello world")
     assert tok.decode(ids) == "hello world"
     assert vocab["hel"] in ids  # merges applied
+
+
+def test_pretokenizer_matches_gpt2_regex_golden():
+    """Byte-exact pretokenization vs the canonical GPT-2 pattern (`regex`
+    module as golden oracle) over contractions, Unicode classes, whitespace
+    edge cases. VERDICT item 10."""
+    import regex
+    from zgml_tpu.io.tokenizer import BPETokenizer
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    tok = BPETokenizer.__new__(BPETokenizer)   # pretok needs no vocab
+
+    cases = [
+        "Hello world",
+        "I'm sure they're won't we've y'all'll i'd 'S 'x",
+        "  leading and   multiple   spaces  ",
+        "tabs\tand\nnewlines \t mixed\r\n end",
+        "numbers 123 mixed42text 3.14 1,000,000",
+        "punct!!! ...---... #hashtag @user (parens) [brackets]",
+        "unicode: café naïve Ångström 北京 русский مرحبا",
+        "roman numerals Ⅷ Ⅻ and fractions ½ ¾",
+        "emoji 🙂🙂 and symbols €100 £50 ¥",
+        "trailing space ",
+        " ",
+        "\n\n\n",
+        "a",
+        "don't stop believin' — hold on to that feelin'",
+        "CamelCase and snake_case and kebab-case",
+        "x y nbsp  double",
+    ]
+    for text in cases:
+        want = pat.findall(text)
+        got = tok._split_pretok(text)
+        assert got == want, (text, got, want)
+        assert "".join(got) == text
+
+
+def test_pretokenizer_fuzz_vs_regex():
+    import random
+    import regex
+    from zgml_tpu.io.tokenizer import BPETokenizer
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    tok = BPETokenizer.__new__(BPETokenizer)
+    rng = random.Random(0)
+    alphabet = ("abcXYZ019' \t\n.,-—Ⅷ½北водé🙂  "
+                + "".join(chr(c) for c in range(0x20, 0x7f, 7)))
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randrange(0, 40)))
+        assert tok._split_pretok(text) == pat.findall(text), repr(text)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import unicodedata
 
 
 def _bytes_to_unicode() -> dict[int, str]:
@@ -95,37 +96,65 @@ class BPETokenizer:
         return word
 
     def _split_pretok(self, text: str) -> list[str]:
-        """GPT-2 pre-tokenizer: split into letter/number/other runs, each optionally
-        preceded by a space that attaches to the following run (approximation of the
-        GPT-2 regex without the `regex` package, matching the reference's manual
-        splitter, tokenizer.zig:238-265)."""
+        """GPT-2 pre-tokenizer, exact semantics of the canonical pattern
+        's|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+
+        implemented as a manual scanner (no `regex` dependency at runtime;
+        golden-tested against the real pattern in tests/test_io_extra.py).
+        \\p{L} is Unicode category L* (NOT str.isalpha, which also accepts
+        letter-numbers like Roman numerals), \\p{N} is category N*; the
+        trailing-whitespace rule leaves the last space to attach to the next
+        word. ref: tokenizer.zig:238-320 (the reference approximates; this is
+        byte-exact vs HF/llama.cpp)."""
+        cat = unicodedata.category
+        is_l = lambda ch: cat(ch).startswith("L")       # noqa: E731
+        is_n = lambda ch: cat(ch).startswith("N")       # noqa: E731
         out: list[str] = []
         i, n = 0, len(text)
         while i < n:
-            j = i
-            prefix = ""
-            if text[j] == " " and j + 1 < n and not text[j + 1].isspace():
-                prefix = " "
-                j += 1
-            c = text[j]
-            if c.isalpha():
-                k = j
-                while k < n and text[k].isalpha():
+            ch = text[i]
+            if ch == "'":                               # contractions
+                if text.startswith(("'re", "'ve", "'ll"), i):
+                    out.append(text[i:i + 3])
+                    i += 3
+                    continue
+                if i + 1 < n and text[i + 1] in "stmd":
+                    out.append(text[i:i + 2])
+                    i += 2
+                    continue
+            sp = 1 if (ch == " " and i + 1 < n) else 0
+            j = i + sp
+            if j < n and is_l(text[j]):                 # ` ?\p{L}+`
+                k = j + 1
+                while k < n and is_l(text[k]):
                     k += 1
-            elif c.isdigit():
-                k = j
-                while k < n and text[k].isdigit():
+                out.append(text[i:k])
+                i = k
+                continue
+            if j < n and is_n(text[j]):                 # ` ?\p{N}+`
+                k = j + 1
+                while k < n and is_n(text[k]):
                     k += 1
-            elif c.isspace():
-                k = j
-                while k < n and text[k].isspace():
+                out.append(text[i:k])
+                i = k
+                continue
+            if j < n and not text[j].isspace():         # ` ?[^\s\p{L}\p{N}]+`
+                k = j + 1
+                while k < n and not (text[k].isspace() or is_l(text[k])
+                                     or is_n(text[k])):
                     k += 1
+                out.append(text[i:k])
+                i = k
+                continue
+            # whitespace: `\s+(?!\S)` (all, or all-but-last) else `\s+`
+            k = i
+            while k < n and text[k].isspace():
+                k += 1
+            if k == n or k - i == 1:
+                out.append(text[i:k])
+                i = k
             else:
-                k = j
-                while k < n and not (text[k].isalnum() or text[k].isspace()):
-                    k += 1
-            out.append(prefix + text[j:k])
-            i = k
+                out.append(text[i:k - 1])
+                i = k - 1
         return out
 
     def encode(self, text: str) -> list[int]:

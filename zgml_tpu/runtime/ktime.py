@@ -21,17 +21,19 @@ import numpy as np
 from zgml_tpu.quant.repack import PackedWeight
 
 
-def time_call(f, x0, *rest, reps: int = 30) -> float:
-    """Mean seconds/call of f(x0, *rest), with the reps run back-to-back ON
-    DEVICE inside one lax.scan dispatch.
+def time_call(f, x0, *rest, reps: int = 30, trials: int = 3) -> float:
+    """Best-of-`trials` mean seconds/call of f(x0, *rest), with the reps run
+    back-to-back ON DEVICE inside one lax.scan dispatch.
 
     Host-side per-dispatch overhead through the axon tunnel is ~2 ms — larger
     than most kernels — so a python rep loop measures the tunnel, not the
     kernel (measured: a 10 MB GEMV "took" 2.5 ms host-looped). The scan chains
     iterations via a denormal-scaled output fold (serial dependency, no CSE),
-    so the measured window is pure device time. x0 must be a float array (the
-    fold target); the warmup value-fetches because block_until_ready returns
-    early through the tunnel."""
+    so the measured window is pure device time. The chip is TIME-SHARED
+    behind the tunnel (observed: the same kernel 33->258 GB/s between runs);
+    best-of-trials takes the least-contended window. x0 must be a float array
+    (the fold target); the warmup value-fetches because block_until_ready
+    returns early through the tunnel."""
     @jax.jit
     def loop(x, *rest):
         def body(x, _):
@@ -44,9 +46,12 @@ def time_call(f, x0, *rest, reps: int = 30) -> float:
 
     for _ in range(2):
         float(np.asarray(loop(x0, *rest)).ravel()[0])
-    t0 = time.time()
-    float(np.asarray(loop(x0, *rest)).ravel()[0])
-    return (time.time() - t0) / reps
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        float(np.asarray(loop(x0, *rest)).ravel()[0])
+        best = min(best, time.time() - t0)
+    return best / reps
 
 
 def _layer0(leaf):
