@@ -157,3 +157,90 @@ def test_conv_and_pool_forward_and_grad():
     # build-time shape check
     with pytest.raises(ValueError):
         x.conv2d(var("bad", (3, 3, 5, 4)))
+
+
+def test_rope_slice_assign_scatter_add():
+    """The three VERDICT-9 ops: build-time checks + lowering vs oracles."""
+    from zgml_tpu.ops import refs
+    rng = np.random.default_rng(7)
+    xh = rng.standard_normal((2, 8, 16)).astype(np.float32)   # [H, T, d]
+    pos = np.arange(8)
+    cos_np, sin_np = refs.rope_cos_sin(jnp.asarray(pos), 16)
+
+    x = var("x", (2, 8, 16))
+    cos, sin = var("cos", (8, 8)), var("sin", (8, 8))
+    g = ComputeGraph(x.rope(cos, sin))
+    got = np.asarray(g.run(x=xh, cos=np.asarray(cos_np), sin=np.asarray(sin_np)))
+    want = np.asarray(refs.rope_apply_ref(jnp.asarray(xh), cos_np, sin_np))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        x.rope(var("c2", (8, 4)), sin)            # wrong cos shape
+
+    # slice_assign
+    dst = var("dst", (4, 6))
+    src = var("src", (2, 3))
+    g2 = ComputeGraph(dst.slice_assign(src, (1, 2)))
+    d = np.zeros((4, 6), np.float32)
+    s = np.ones((2, 3), np.float32)
+    out = np.asarray(g2.run(dst=d, src=s))
+    want2 = d.copy()
+    want2[1:3, 2:5] = 1.0
+    np.testing.assert_array_equal(out, want2)
+    with pytest.raises(ValueError):
+        dst.slice_assign(src, (3, 2))             # out of bounds at build time
+
+    # scatter_add_rows
+    tbl = var("tbl", (5, 4))
+    upd = var("upd", (3, 4))
+    idx = var("idx", (3,))
+    g3 = ComputeGraph(tbl.scatter_add_rows(upd, idx))
+    t0 = np.zeros((5, 4), np.float32)
+    u = rng.standard_normal((3, 4)).astype(np.float32)
+    ii = np.array([1, 3, 1], np.int32)
+    out3 = np.asarray(g3.run(tbl=t0, upd=u, idx=ii))
+    want3 = t0.copy()
+    np.add.at(want3, ii, u)
+    np.testing.assert_allclose(out3, want3, rtol=1e-6, atol=1e-6)
+
+
+def test_graph_kv_cache_decode():
+    """A KV-cache decode step is expressible in the graph tier (VERDICT 9;
+    ref: the sliceAssign-based cache path, api.zig:605-696): write the new
+    K/V at a static position, attend q over the live prefix, == jnp oracle."""
+    from zgml_tpu.ops import refs
+    h, s, d, pos = 2, 8, 16, 5
+    rng = np.random.default_rng(8)
+    ck = rng.standard_normal((h, s, d)).astype(np.float32)
+    cv = rng.standard_normal((h, s, d)).astype(np.float32)
+    qn = rng.standard_normal((h, 1, d)).astype(np.float32)
+    kn = rng.standard_normal((h, 1, d)).astype(np.float32)
+    vn = rng.standard_normal((h, 1, d)).astype(np.float32)
+
+    cache_k, cache_v = var("ck", (h, s, d)), var("cv", (h, s, d))
+    q = var("q", (h, 1, d))
+    k_new, v_new = var("kn", (h, 1, d)), var("vn", (h, 1, d))
+    ck2 = cache_k.slice_assign(k_new, (0, pos, 0))
+    cv2 = cache_v.slice_assign(v_new, (0, pos, 0))
+    live_k = ck2.slice((0, 0, 0), (h, pos + 1, d))
+    live_v = cv2.slice((0, 0, 0), (h, pos + 1, d))
+    out = q.attention(live_k, live_v, causal=False)
+    g = ComputeGraph(out)
+    got = np.asarray(g.run(ck=ck, cv=cv, q=qn, kn=kn, vn=vn))
+
+    ck_ref = ck.copy(); ck_ref[:, pos] = kn[:, 0]
+    cv_ref = cv.copy(); cv_ref[:, pos] = vn[:, 0]
+    want = np.asarray(refs.attention_ref(
+        jnp.asarray(qn), jnp.asarray(ck_ref[:, :pos + 1]),
+        jnp.asarray(cv_ref[:, :pos + 1]), None))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_every_op_has_a_lowering_rule():
+    """No enum member without a lowering rule (VERDICT 9: Op.ROPE was
+    declared with no rule and raised NotImplementedError at run time)."""
+    import inspect
+    from zgml_tpu.graph import lower
+    src = inspect.getsource(lower)
+    for op in Op:
+        assert (f"Op.{op.name}" in src) or op in (Op.VAR, Op.CONST) \
+            or op.name in ("SCALE", "ADD_SCALAR"), f"no lowering for {op}"

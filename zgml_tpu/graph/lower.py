@@ -77,6 +77,13 @@ def lower_node(node: LazyTensor, vals: dict[int, Any]) -> Any:
     if op == Op.PICK_ROWS:
         idx = srcs[1].astype(jnp.int32)
         return jnp.take_along_axis(srcs[0], idx[..., None], axis=-1)[..., 0]
+    if op == Op.SCATTER_ADD_ROWS:
+        return srcs[0].at[srcs[2].astype(jnp.int32)].add(srcs[1])
+    if op == Op.SLICE_ASSIGN:
+        return jax.lax.dynamic_update_slice(srcs[0], srcs[1].astype(
+            srcs[0].dtype), node.payload)
+    if op == Op.ROPE:
+        return refs.rope_apply_ref(srcs[0], srcs[1], srcs[2])
     if op == Op.SOFTMAX:
         return jax.nn.softmax(srcs[0], axis=node.payload)
     if op == Op.LOG_SOFTMAX:

@@ -48,6 +48,11 @@ class Op(enum.Enum):
     # indexing (ref: gather_rows/pick_rows/scatter_add_rows)
     GATHER_ROWS = "gather_rows"
     PICK_ROWS = "pick_rows"  # out[i] = x[i, idx[i]]
+    SCATTER_ADD_ROWS = "scatter_add_rows"  # out[idx[i]] += src[i]
+    # in-place-style updates (ref: sliceAssign/sliceAssignRows,
+    # api.zig:605-696 — the KV-cache write primitive); functional here:
+    # returns x with src written at static offsets
+    SLICE_ASSIGN = "slice_assign"          # payload: starts
     # composites (single nodes in the reference: softmax/rmsnorm/attention)
     SOFTMAX = "softmax"
     LOG_SOFTMAX = "log_softmax"

@@ -196,6 +196,43 @@ class LazyTensor:
         return LazyTensor(Op.ATTENTION, self.shape, (self, k, v),
                           (causal, scale))
 
+    def rope(self, cos: "LazyTensor", sin: "LazyTensor") -> "LazyTensor":
+        """Rotary embedding, half-split pairing. self [..., T, d];
+        cos/sin [T, d//2] (ref: ropeRotate, api.zig:620-636)."""
+        d = self.shape[-1]
+        if d % 2:
+            raise ValueError(f"rope head_dim {d} must be even")
+        want = (self.shape[-2], d // 2)
+        if tuple(cos.shape) != want or tuple(sin.shape) != want:
+            raise ValueError(
+                f"rope cos/sin must be {want}, got {cos.shape}/{sin.shape}")
+        return LazyTensor(Op.ROPE, self.shape, (self, cos, sin))
+
+    def slice_assign(self, src: "LazyTensor", starts) -> "LazyTensor":
+        """Return self with `src` written at static offsets `starts` — the
+        functional KV-cache write (ref: sliceAssign/sliceAssignRows,
+        api.zig:605-696; here one op covers both axes)."""
+        starts = tuple(int(s) for s in starts)
+        if len(starts) != len(self.shape) or len(src.shape) != len(self.shape):
+            raise ValueError(f"slice_assign rank mismatch: {self.shape} vs "
+                             f"{src.shape} at {starts}")
+        for st, sz, full in zip(starts, src.shape, self.shape):
+            if st < 0 or st + sz > full:
+                raise ValueError(
+                    f"slice_assign out of bounds: start {starts}, "
+                    f"src {src.shape}, dst {self.shape}")
+        return LazyTensor(Op.SLICE_ASSIGN, self.shape, (self, src), starts)
+
+    def scatter_add_rows(self, src: "LazyTensor",
+                         idx: "LazyTensor") -> "LazyTensor":
+        """out = self with out[idx[i]] += src[i] (ref: scatter_add_rows —
+        the embedding-backward primitive)."""
+        if tuple(src.shape) != (idx.shape[0],) + tuple(self.shape[1:]):
+            raise ValueError(
+                f"scatter_add_rows: src {src.shape} must be "
+                f"[{idx.shape[0]}, *{self.shape[1:]}]")
+        return LazyTensor(Op.SCATTER_ADD_ROWS, self.shape, (self, src, idx))
+
     def cross_entropy(self, target_idx: "LazyTensor"):
         """mean(-log_softmax(x)[target]) (ref: loss.zig:16-43, fused pattern
         fusion.zig:171-203)."""
