@@ -196,3 +196,22 @@ def test_flash_attention_odd_tq():
     want = refs.gqa_attention_ref(q, k, v, mask[None, None])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_kv_row_offset():
+    """kv_row scalar-prefetch offset: a batch-1 query over row r of a larger
+    batched cache == slicing row r (the serving prefill-into-slot path)."""
+    from zgml_tpu.ops.attention import flash_attention_pallas
+    rng = np.random.default_rng(31)
+    B, hq, hkv, tq, s, d = 3, 4, 2, 8, 64, 16
+    q = jnp.asarray(rng.standard_normal((1, hq, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, hkv, s, d)), jnp.float32)
+    for row in (0, 1, 2):
+        for pos in (0, 4):
+            got = flash_attention_pallas(q, k, v, kv_len=pos + tq,
+                                         q_offset=pos, kv_row=row)
+            want = flash_attention_pallas(q, k[row:row + 1], v[row:row + 1],
+                                          kv_len=pos + tq, q_offset=pos)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)

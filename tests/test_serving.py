@@ -73,3 +73,39 @@ def test_int8_cache_serving(model):
     serve = ContinuousBatchingEngine(model, max_batch=2, cache_dtype="int8")
     outs = serve.run([([1, 2, 3], 4), ([4, 5], 4)])
     assert all(len(v) == 4 for v in outs.values())
+
+
+def test_burst_matches_stepwise(model):
+    """decode_burst (N tokens per dispatch) must emit the same greedy streams
+    as per-step decoding, including stop-overshoot truncation."""
+    prompts = [[1, 2, 3], [10, 20, 30, 40], [5, 6]]
+    a = ContinuousBatchingEngine(model, max_batch=4)
+    want = a.run([(p, 9) for p in prompts])
+    b = ContinuousBatchingEngine(model, max_batch=4)
+    got = b.run([(p, 9) for p in prompts], burst=4)
+    assert [got[r] for r in sorted(got)] == [want[r] for r in sorted(want)]
+
+
+def test_chunked_admission_interleaves(model):
+    """A long prompt must NOT stall decoding slots: with prefill_chunk=4 and
+    an 11-token prompt, already-decoding requests keep emitting on the steps
+    that also carry a prefill chunk (VERDICT 6)."""
+    serve = ContinuousBatchingEngine(model, max_batch=2, prefill_chunk=4)
+    r0 = serve.submit([1, 2, 3], 12)
+    # get r0 decoding
+    for _ in range(3):
+        serve.step()
+    r1 = serve.submit(list(range(1, 12)), 4)   # 11 tokens -> 3 chunks
+    emitted_during_prefill = 0
+    for _ in range(3):                          # the 3 prefill-chunk steps
+        out = serve.step()
+        emitted_during_prefill += sum(1 for rid, _ in out if rid == r0)
+    assert emitted_during_prefill >= 3, emitted_during_prefill
+    # drain; both complete with correct counts
+    while any(s is not None for s in serve.slots) or serve.prefilling:
+        serve.step()
+    reqs = {r0: 12, r1: 4}
+    # r0 emitted every step it was active; r1's output matches the single
+    # engine on the same prompt
+    single = LlamaEngine(model, donate_cache=False)
+    assert single.generate(list(range(1, 12)), 4) == serve.requests[r1].output

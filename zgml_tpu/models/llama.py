@@ -162,7 +162,7 @@ _tp_gather.defvjp(_tp_gather_fwd, _tp_gather_bwd)
 
 def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                 cos, sin, decode: bool, tp_axis: str | None = None,
-                tp_size: int = 1):
+                tp_size: int = 1, cache_row=None, write_pos=None):
     """One transformer block. x: [B, T, D]; cache_k/v: [B, Hkv_local, S, dh].
 
     Returns (x_out, new_cache_k, new_cache_v).
@@ -199,6 +199,11 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     k = ops.rope_apply(k, cos, sin)
 
     per_row = getattr(pos, "ndim", 0) == 1   # [B] positions (continuous batching)
+    # where K/V land in the cache; serving decouples this from `pos` so an
+    # inactive slot's garbage decode write goes to the dead last position
+    # instead of clobbering a mid-prefill slot's row (position max_seq-1 is
+    # never live: requests finish at pos+1 >= max_seq)
+    wp = pos if write_pos is None else write_pos
 
     if isinstance(cache_k, tuple):
         # int8 quantized KV cache: (k_q, k_s) / (v_q, v_s) d-major slabs
@@ -206,11 +211,25 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                                              quantize_columns, write_columns)
         kq_new, ks_new = quantize_columns(k)
         vq_new, vs_new = quantize_columns(v)
-        if per_row:
+        if cache_row is not None:
+            # serving prefill-into-slot over the int8 cache: write this
+            # batch-1 chunk's quantized columns at (slot, pos), then run
+            # flash over the slot's dequantized row (the int8 row slice is
+            # 3.6x smaller than the f32 transient it expands to)
+            dus4 = lambda c, u: jax.lax.dynamic_update_slice(   # noqa: E731
+                c, u, (cache_row, 0, 0, pos))
+            cache_k = (dus4(cache_k[0], kq_new), dus4(cache_k[1], ks_new))
+            cache_v = (dus4(cache_v[0], vq_new), dus4(cache_v[1], vs_new))
+            row = lambda c: jax.lax.dynamic_slice_in_dim(       # noqa: E731
+                c, cache_row, 1, axis=0)
+            kf = dequantize_cache(row(cache_k[0]), row(cache_k[1]))
+            vf = dequantize_cache(row(cache_v[0]), row(cache_v[1]))
+            att = ops.flash_attention(q, kf, vf, kv_len=kv_len, q_offset=pos)
+        elif per_row:
             dus = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
                 c, u, (0, 0, p)))
-            cache_k = (dus(cache_k[0], kq_new, pos), dus(cache_k[1], ks_new, pos))
-            cache_v = (dus(cache_v[0], vq_new, pos), dus(cache_v[1], vs_new, pos))
+            cache_k = (dus(cache_k[0], kq_new, wp), dus(cache_k[1], ks_new, wp))
+            cache_v = (dus(cache_v[0], vq_new, wp), dus(cache_v[1], vs_new, wp))
         else:
             cache_k = write_columns(cache_k[0], cache_k[1], kq_new, ks_new, pos)
             cache_v = write_columns(cache_v[0], cache_v[1], vq_new, vs_new, pos)
@@ -223,14 +242,25 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             kf = dequantize_cache(cache_k[0], cache_k[1])
             vf = dequantize_cache(cache_v[0], cache_v[1])
             att = ops.flash_attention(q, kf, vf, kv_len=kv_len, q_offset=pos)
+    elif cache_row is not None:
+        # serving prefill-into-slot: x is batch-1 but the cache is the full
+        # [B', Hkv, S, d] shared slab; write this request's K/V at its slot
+        # row and read attention through the kernel's kv_row offset —
+        # zero-copy, no staging cache (VERDICT 6)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (cache_row, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (cache_row, 0, pos, 0))
+        att = ops.flash_attention(q, cache_k, cache_v, kv_len=kv_len,
+                                  q_offset=pos, kv_row=cache_row)
     else:
         # write K/V into the cache at position `pos` (analog of sliceAssign
         # with storage_offset patching, llama_inference.zig:450-453)
         if per_row:
             dus = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
                 c, u, (0, p, 0)))
-            cache_k = dus(cache_k, k.astype(cache_k.dtype), pos)
-            cache_v = dus(cache_v, v.astype(cache_v.dtype), pos)
+            cache_k = dus(cache_k, k.astype(cache_k.dtype), wp)
+            cache_v = dus(cache_v, v.astype(cache_v.dtype), wp)
         else:
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, k.astype(cache_k.dtype), (0, 0, pos, 0))
@@ -305,13 +335,15 @@ class LlamaModel:
 
     # -- forward ------------------------------------------------------------
     def forward(self, params, tokens, cache, pos, tp_axis: str | None = None,
-                tp_size: int = 1):
+                tp_size: int = 1, cache_row=None, write_pos=None):
         """tokens [B, T] int32, pos: scalar int32 start position.
 
         Returns (logits [B, T, V] f32, new_cache). kv_len = pos + T.
         With tp_axis set (inside shard_map) params' projection weights and the
         cache hold per-device shards; logits come back full (lm_head
         column-sharded + all_gather over vocab shards).
+        cache_row: tokens are batch-1 but `cache` is a larger shared slab;
+        read/write only batch entry cache_row (serving prefill-into-slot).
         """
         cfg = self.cfg
         b, t = tokens.shape
@@ -339,7 +371,8 @@ class LlamaModel:
             for i, layer in enumerate(layers):
                 x, ck, cv = _layer_step(cfg, x, layer, cache["k"][i],
                                         cache["v"][i], pos, kv_len, cos, sin,
-                                        decode, tp_axis, tp_size)
+                                        decode, tp_axis, tp_size, cache_row,
+                                        write_pos)
                 ks.append(ck)
                 vs.append(cv)
             new_k, new_v = ks, vs
@@ -350,7 +383,8 @@ class LlamaModel:
                 layer, ck, cv = layer_and_cache
                 x_out, ck, cv = _layer_step(cfg, x_carry, layer, ck, cv, pos,
                                             kv_len, cos, sin, decode,
-                                            tp_axis, tp_size)
+                                            tp_axis, tp_size, cache_row,
+                                            write_pos)
                 return x_out, (ck, cv)
 
             x, (new_k, new_v) = jax.lax.scan(

@@ -83,10 +83,14 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 @functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
 def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float):
-    """q: [B*Hq, Tq, d], k/v: [B*Hkv, S, d], lens: int32 [2] = (kv_len, q_off).
+    """q: [B*Hq, Tq, d], k/v: [B'*Hkv, S, d], lens: int32 [3] =
+    (kv_len, q_off, kv_row).
 
     hq = query heads per batch element; flattened q-head index h maps to
-    flattened kv-head index (h // hq)*(hq // n_rep) + (h % hq)//n_rep.
+    flattened kv-head index (kv_row + h // hq)*(hq // n_rep)... i.e. kv_row
+    offsets into a LARGER batched cache (B' >= B): serving prefills a single
+    request directly into its slot's rows of the shared cache, zero-copy
+    (kv_row = slot; 0 when B' == B).
 
     KV index maps are clamped to the live frontier (min(kv_len, causal end))
     via scalar prefetch: dead blocks map to the last live block, so Pallas's
@@ -103,7 +107,7 @@ def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float
     def kv_index(h, qb_, kb_, lens_ref):
         live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
         last_kb = jnp.maximum(live_end - 1, 0) // bk
-        return ((h // hq) * hkv + (h % hq) // n_rep,
+        return ((lens_ref[2] + h // hq) * hkv + (h % hq) // n_rep,
                 jnp.minimum(kb_, last_kb), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -132,15 +136,25 @@ def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float
 
 def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                            kv_len=None, q_offset=0,
-                           bq: int = 128, bk: int = 128) -> jax.Array:
+                           bq: int = 128, bk: int = 128,
+                           kv_row=None) -> jax.Array:
     """q [B,Hq,Tq,d], k/v [B,Hkv,S,d] -> [B,Hq,Tq,d]; causal with offset.
 
     Query row i has absolute position q_offset + i; only keys with absolute
     position < kv_len and <= query position contribute. kv_len defaults to S.
+
+    kv_row: when set, k/v are a LARGER batched cache [B', Hkv, S, d] and this
+    B==1 query reads rows of batch entry `kv_row` — the zero-copy
+    prefill-into-slot path for the serving engine (inference only: the
+    backward kernels assume kv_row == 0).
     """
     b, hq, tq, d = q.shape
     _, hkv, s, _ = k.shape
     n_rep = hq // hkv
+    if kv_row is None:
+        kv_row = 0
+    else:
+        assert b == 1, "kv_row requires a batch-1 query"
     if kv_len is None:
         kv_len = s
     # pad Tq to a tile-legal size (odd windows, e.g. ppl eval's W+1 tokens);
@@ -158,15 +172,16 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     while s % bk_eff:
         bk_eff //= 2
     lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
-                      jnp.asarray(q_offset, jnp.int32).reshape(())])
+                      jnp.asarray(q_offset, jnp.int32).reshape(()),
+                      jnp.asarray(kv_row, jnp.int32).reshape(())])
     # route through the custom_vjp wrapper so jax.grad gets the Pallas
     # FlashAttention-2 backward (zgml_tpu/ops/flash_vjp.py) instead of
     # differentiating through the kernel (impossible) or the jnp ref
     # (materializes O(T^2) scores). Zero overhead when not differentiating.
     from zgml_tpu.ops.flash_vjp import make_flash_vjp
     f = make_flash_vjp(hq, n_rep, bq_eff, bk_eff, 1.0 / (d ** 0.5))
-    out = f(qp.reshape(b * hq, tq_pad, d), k.reshape(b * hkv, s, d),
-            v.reshape(b * hkv, s, d), lens)
+    out = f(qp.reshape(b * hq, tq_pad, d), k.reshape(-1, s, d),
+            v.reshape(-1, s, d), lens)
     return out.reshape(b, hq, tq_pad, d)[:, :, :tq]
 
 

@@ -120,17 +120,21 @@ def rope_apply(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    kv_len=None, q_offset=0) -> jax.Array:
+                    kv_len=None, q_offset=0, kv_row=None) -> jax.Array:
     """Prefill attention, GQA-aware and causal: q [B,Hq,Tq,d], k/v [B,Hkv,S,d].
 
     Query row i has absolute position q_offset + i; keys with absolute position
-    < kv_len and <= the query's position contribute.
+    < kv_len and <= the query's position contribute. kv_row: read batch entry
+    kv_row of a larger cache (serving prefill-into-slot; q must be batch 1).
     """
     if use_pallas("attention"):
         from zgml_tpu.ops.attention import flash_attention_pallas
         _count("attention", "pallas")
-        return flash_attention_pallas(q, k, v, kv_len, q_offset)
+        return flash_attention_pallas(q, k, v, kv_len, q_offset, kv_row=kv_row)
     _count("attention", "ref")
+    if kv_row is not None:
+        k = jax.lax.dynamic_slice_in_dim(k, kv_row, 1, axis=0)
+        v = jax.lax.dynamic_slice_in_dim(v, kv_row, 1, axis=0)
     s = k.shape[2]
     tq = q.shape[2]
     if kv_len is None:

@@ -88,7 +88,10 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 @functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
 def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale):
-    """Like attention._flash but also returns LSE [tq, B*Hq] (transposed)."""
+    """Like attention._flash but also returns LSE [tq, B*Hq] (transposed).
+
+    lens [3] = (kv_len, q_off, kv_row); kv_row offsets into a larger batched
+    cache (see attention._flash) — the backward kernels assume kv_row == 0."""
     bhq, tq, d = q.shape
     _, s, _ = k.shape
     n_qb, n_kb = tq // bq, s // bk
@@ -97,7 +100,7 @@ def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale):
     def kv_index(h, qb_, kb_, lens_ref):
         live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
         last_kb = jnp.maximum(live_end - 1, 0) // bk
-        return ((h // hq) * hkv + (h % hq) // n_rep,
+        return ((lens_ref[2] + h // hq) * hkv + (h % hq) // n_rep,
                 jnp.minimum(kb_, last_kb), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
