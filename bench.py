@@ -90,9 +90,18 @@ def main():
     build_model(path, cfg, quant)
 
     t0 = time.time()
-    model, _ = load_llama(path, mode="quantized")
+    packed = path + ".packed.safetensors"
+    if os.path.exists(packed):
+        from zgml_tpu.io.packed_ckpt import load_packed_llama
+        model = load_packed_llama(packed)
+        how = "mmap-loaded packed ckpt"
+    else:
+        model, _ = load_llama(path, mode="quantized")
+        from zgml_tpu.io.packed_ckpt import save_packed_llama
+        save_packed_llama(packed, model)
+        how = "loaded+repacked (cached for next run)"
     model.params = jax.device_put(model.params)
-    log(f"loaded+repacked in {time.time()-t0:.1f}s "
+    log(f"{how} in {time.time()-t0:.1f}s "
         f"(cfg: d={cfg.d_model} L={cfg.n_layers} heads={cfg.n_heads}/"
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")
 

@@ -201,3 +201,27 @@ def test_pretokenizer_fuzz_vs_regex():
         text = "".join(rng.choice(alphabet)
                        for _ in range(rng.randrange(0, 40)))
         assert tok._split_pretok(text) == pat.findall(text), repr(text)
+
+
+def test_packed_checkpoint_roundtrip(tmp_path):
+    """GGUF -> repacked safetensors checkpoint -> identical logits, no
+    repack on reload (the mmap fast-load path for bench/serving)."""
+    import jax.numpy as jnp
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.io.packed_ckpt import load_packed_llama, save_packed_llama
+    from zgml_tpu.utils.synthetic import TINY_TEST, write_synthetic_llama_gguf
+
+    g = str(tmp_path / "m.gguf")
+    write_synthetic_llama_gguf(g, TINY_TEST, GGMLType.Q4_0, seed=5)
+    model, _ = load_llama(g, mode="quantized")
+    p = str(tmp_path / "m.packed.safetensors")
+    save_packed_llama(p, model)
+    loaded = load_packed_llama(p)
+    assert loaded.cfg == model.cfg
+
+    toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    want, _ = model.forward(model.params, toks, model.init_cache(1), 0)
+    got, _ = loaded.forward(loaded.params, toks, loaded.init_cache(1), 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
