@@ -215,3 +215,65 @@ def test_flash_attention_kv_row_offset():
                                           kv_len=pos + tq, q_offset=pos)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-5)
+
+
+# -- edge-case sweeps (the analog of the reference's 11-size x 4-transpose
+#    sweeps, tensor.zig:999-1140) ---------------------------------------------
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+@pytest.mark.parametrize("m,n,k", [
+    (1, 32, 32),       # minimum block-size weight
+    (1, 16, 64),       # n below one lane tile
+    (3, 100, 96),      # nothing aligned
+    (33, 384, 160),    # m crosses the 8-sublane pad, odd K blocks
+    (2, 544, 544),     # k not a power-of-two multiple of 256
+])
+def test_qmatmul_size_sweep(kind, m, n, k):
+    rng = np.random.default_rng(hash((kind, m, n, k, 1)) % 2**32)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    pw = _to_jax(quantize_weight(w, kind))
+    got = np.asarray(qmatmul_pallas(jnp.asarray(x), pw))
+    want = x @ dequant_packed(quantize_weight(w, kind)).T
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-2 * np.sqrt(k))
+
+
+@pytest.mark.parametrize("b,hq,hkv,d,s,kv_len", [
+    (1, 4, 4, 80, 128, 77),     # n_rep=1, head_dim not a lane multiple
+    (2, 8, 1, 64, 256, 256),    # MQA (n_rep=8), full cache
+    (1, 2, 2, 16, 512, 500),    # multi-block kv_len, small d
+    (3, 6, 3, 48, 64, 1),       # kv_len=1 (first decode step)
+])
+def test_decode_attention_edge_sweep(b, hq, hkv, d, s, kv_len):
+    rng = np.random.default_rng(hash((b, hq, hkv, d, s, kv_len)) % 2**32)
+    q = jnp.asarray(rng.standard_normal((b, hq, 1, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    lens = jnp.full((b,), kv_len, jnp.int32)
+    got = decode_attention_pallas(q, k, v, lens)
+    mask = (np.arange(s)[None, :] < kv_len)
+    want = refs.gqa_attention_ref(q, k, v,
+                                  jnp.asarray(mask)[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("hq,hkv,tq,s,kv_len,q_off", [
+    (4, 4, 8, 64, 64, 56),      # n_rep=1, tiny odd Tq
+    (6, 2, 40, 96, 90, 50),     # nothing tile-aligned
+    (2, 1, 256, 256, 1, 0),     # kv_len=1
+])
+def test_flash_attention_edge_sweep(hq, hkv, tq, s, kv_len, q_off):
+    d = 80                      # head_dim not a lane multiple
+    rng = np.random.default_rng(hash((hq, hkv, tq, s, kv_len)) % 2**32)
+    q = jnp.asarray(rng.standard_normal((1, hq, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, hkv, s, d)), jnp.float32)
+    got = flash_attention_pallas(q, k, v, kv_len=kv_len, q_offset=q_off)
+    ki = np.arange(s)[None, :]
+    qi = q_off + np.arange(tq)[:, None]
+    mask = jnp.asarray((ki < kv_len) & (ki <= qi))
+    want = refs.gqa_attention_ref(q, k, v, mask[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
