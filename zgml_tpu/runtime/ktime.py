@@ -104,7 +104,9 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
         else:
             k, n = int(w.shape[0]), int(w.shape[1])
         x = jnp.asarray(rng.standard_normal((batch, 1, k)), jnp.float32)
-        dt = time_call(lambda x, w=w: ops.qmatmul(x, w), x, reps=reps)
+        # weights go in as ARGUMENTS: closing over them would capture GBs as
+        # lowering constants and re-upload them through the tunnel per compile
+        dt = time_call(lambda x, w: ops.qmatmul(x, w), x, w, reps=reps)
         add(name, f"[{k}x{n}]", dt, L, _leaf_bytes(w))
 
     # -- decode attention over the live cache prefix -------------------------
@@ -125,26 +127,26 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     h = jnp.asarray(rng.standard_normal((batch, 1, d)), jnp.float32)
     if head is None:
         emb = model.params["tok_embd"]
-        dt = time_call(lambda h: jnp.einsum(
-            "btd,vd->btv", h, emb.astype(jnp.float32)), h, reps=reps)
+        dt = time_call(lambda h, e: jnp.einsum(
+            "btd,vd->btv", h, e.astype(jnp.float32)), h, emb, reps=reps)
         add("lm_head(tied)", f"[{d}x{cfg.vocab_size}]", dt, 1,
             _leaf_bytes(emb))
     else:
-        dt = time_call(lambda h: ops.qmatmul(h, head), h, reps=reps)
+        dt = time_call(lambda h, w: ops.qmatmul(h, w), h, head, reps=reps)
         add("lm_head", f"[{d}x{cfg.vocab_size}]", dt, 1, _leaf_bytes(head))
 
     # -- the full measured step + residue ------------------------------------
     cache = model.init_cache(batch)
 
-    def step_fn(xf, cache):
+    def step_fn(xf, params, cache):
         # xf is loop-variant (carries the dep fold), so tok can't be hoisted
         # out of the timing scan; its value stays 0
         tok = jnp.abs(xf[:, :1]).astype(jnp.int32) % cfg.vocab_size
-        logits, _ = model.forward(model.params, tok, cache, kv_len)
+        logits, _ = model.forward(params, tok, cache, kv_len)
         return logits
 
     x0 = jnp.zeros((batch, 2), jnp.float32)
-    dt_step = time_call(step_fn, x0, cache, reps=reps)
+    dt_step = time_call(step_fn, x0, model.params, cache, reps=reps)
     accounted = sum(r["us_tok"] for r in rows)
     add("full decode step", "", dt_step, 1, 0)
     rows.append({"name": "unaccounted (dispatch+glue)", "shape": "",
