@@ -136,6 +136,178 @@ def _q4_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
     )(x, x, qvals, scales, scales)
 
 
+# -- int8-dot tier (the ggml vec_dot_q*_0_q8 analog, on the MXU) --------------
+#
+# Decode GEMV is bottlenecked by the per-element VPU dequant, not HBM
+# (measured: a 4-projection 7B layer chain sustains ~220 GB/s against a
+# 614 GB/s stream ceiling, consistent with ~2 Tops of VPU unpack work).
+# Fix = ggml's fix (ggml vec_dot_q4_0_q8_0; ref quant.zig:358-440 SDOT):
+# quantize the activations per 32-block to int8 once per token, contract
+# int8 x int8 in per-block segments on the MXU (batched dots, K=32), and
+# apply the per-block scale product to the int32 partials — per-element VPU
+# work drops from ~6 ops (convert+sub+scale) to <1 (one fused
+# multiply-reduce over the 32x-smaller partials tensor).
+
+def _quantize_act(x):
+    """[m, k] f32 -> (int8 [m, k], scales f32 [m, k//QK]); Q8_1-style
+    per-32-block absmax (runs outside the kernel; XLA fuses it)."""
+    m, k = x.shape
+    xb = x.reshape(m, k // QK, QK)
+    amax = jnp.max(jnp.abs(xb), axis=-1)
+    s = amax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = jnp.clip(jnp.round(xb * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(m, k), s
+
+
+def _block_dot(xqb, xs_t, wqb, ws):
+    """Segmented int8 dot: xqb [nbk, bm, 32] i8 (pre-blocked activations),
+    xs_t [nbk, bm] f32, wqb [nbk, 32, bn] i8 (pre-blocked weights),
+    ws [nbk, bn] f32 -> [bm, bn] f32 partial.
+
+    All blocking happens OUTSIDE the kernel (free layout-preserving reshapes
+    at the jnp level) — Mosaic cannot shape-cast int8 vectors in-kernel."""
+    p = jax.lax.dot_general(
+        xqb, wqb, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                # [nbk, bm, bn]
+    scale = xs_t[:, :, None] * ws[:, None, :]            # [nbk, bm, bn]
+    return jnp.sum(p.astype(jnp.float32) * scale, axis=0)
+
+
+def _q8_i8_kernel(xq_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref,
+                  *, n_k: int, out_dtype):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += _block_dot(xq_ref[:], xs_ref[:], q_ref[:], s_ref[:])
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
+def _q8_matmul_i8(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
+    m, k_pad = x.shape
+    _, n_pad = qvals.shape
+    n_k = k_pad // bk
+    nbk = bk // QK
+    xq, xs = _quantize_act(x)
+    xq_t = xq.reshape(m, k_pad // QK, QK).transpose(1, 0, 2)  # [K/32, m, 32]
+    xs_t = xs.T                                               # [K/32, m]
+    wq3 = qvals.reshape(k_pad // QK, QK, n_pad)     # layout-preserving view
+    grid = (m // bm, n_pad // bn, n_k)
+    return pl.pallas_call(
+        functools.partial(_q8_i8_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nbk, bm, QK), lambda mb, nb, kb: (kb, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, QK, bn), lambda mb, nb, kb: (kb, 0, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn), lambda mb, nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mb, nb, kb: (mb, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=_interpret(),
+    )(xq_t, xs_t, wq3, scales)
+
+
+def _q4_i8_kernel(xqlo_ref, xqhi_ref, xslo_ref, xshi_ref,
+                  sumlo_ref, sumhi_ref, q_ref,
+                  slo_ref, shi_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+    """Nibble -8 offset is FOLDED OUT: sum_j (q_j - 8)*x_j =
+    (sum_j q_j*x_j) - 8*(sum_j x_j), with the per-block activation sums
+    precomputed outside — Mosaic has no int8 vector subtract, and this also
+    removes a per-element op. The 8*xsum correction is one tiny MXU matmul
+    [bm, nbk] @ [nbk, bn] per chunk."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # SWAR nibble unpack: int8 vector arith is not legalizable on Mosaic, so
+    # bitcast 4 packed bytes into one i32 lane and do ONE shift+mask per 4
+    # bytes (~0.4 VPU ops per packed byte); bitcast back restores positions
+    v32 = pltpu.bitcast(q_ref[:], jnp.int32)
+    mask = jnp.full(v32.shape, 0x0F0F0F0F, jnp.int32)
+    wlo = pltpu.bitcast(v32 & mask, jnp.int8)           # unsigned nibbles
+    whi = pltpu.bitcast(
+        jax.lax.shift_right_logical(v32, jnp.full(v32.shape, 4, jnp.int32))
+        & mask, jnp.int8)
+    part = (_block_dot(xqlo_ref[:], xslo_ref[:], wlo, slo_ref[:])
+            + _block_dot(xqhi_ref[:], xshi_ref[:], whi, shi_ref[:]))
+    # -8 correction: [bm, nbk] @ [nbk, bn] over (8 * xs * xblocksum) vs ws
+    alo = (xslo_ref[:] * sumlo_ref[:].astype(jnp.float32) * 8.0).T
+    ahi = (xshi_ref[:] * sumhi_ref[:].astype(jnp.float32) * 8.0).T
+    corr = (jnp.dot(alo, slo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(ahi, shi_ref[:], preferred_element_type=jnp.float32))
+    acc_ref[:] += part - corr
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
+def _q4_matmul_i8(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
+    """bk is the *packed* K tile (covers 2*bk logical K per step)."""
+    m, k_pad = x.shape
+    kh, n_pad = qvals.shape          # kh = k_pad // 2
+    n_k = kh // bk
+    nbk = bk // QK
+    xq, xs = _quantize_act(x)
+    xq_t = xq.reshape(m, k_pad // QK, QK).transpose(1, 0, 2)  # [K/32, m, 32]
+    xs_t = xs.T                                               # [K/32, m]
+    xsum_t = jnp.sum(xq_t.astype(jnp.int32), axis=2)          # [K/32, m]
+    wq3 = qvals.reshape(kh // QK, QK, n_pad)        # layout-preserving view
+    grid = (m // bm, n_pad // bn, n_k)
+    return pl.pallas_call(
+        functools.partial(_q4_i8_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nbk, bm, QK), lambda mb, nb, kb: (kb, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bm, QK), lambda mb, nb, kb: (kb + n_k, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb + n_k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb + n_k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, QK, bn), lambda mb, nb, kb: (kb, 0, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn), lambda mb, nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn), lambda mb, nb, kb: (kb + n_k, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda mb, nb, kb: (mb, nb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=_interpret(),
+    )(xq_t, xq_t, xs_t, xs_t, xsum_t, xsum_t, wq3, scales, scales)
+
+
+def _i8dot_enabled() -> bool:
+    """ggml-parity int8-activation dots; ZGML_TPU_I8DOT=0 restores the
+    f32-dequant kernels (A/B + accuracy comparisons)."""
+    return os.environ.get("ZGML_TPU_I8DOT", "1") != "0"
+
+
 # -- backward (transposed dequant-matmul) kernels -----------------------------
 #
 # dx = dy @ dequant(W)^T, with the weight still streamed packed from HBM and
@@ -260,11 +432,17 @@ def _qmm_diff(meta, x2, qvals, scales):
     meaningless.
     """
     kind, bm, bn, bk, out_dtype = meta
+    # the int8-dot tier runs when the whole M fits one tile (decode/small
+    # batch — exactly where per-element dequant is the bottleneck; its
+    # activation-scale layout requires a single m-block). Large-M prefill
+    # amortizes dequant over many rows, so the f32 tier is right there.
+    use_i8 = _i8dot_enabled() and bm == x2.shape[0]
     if kind == "q8_0":
-        return _q8_matmul(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
-                          out_dtype=np.dtype(out_dtype))
-    return _q4_matmul(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
-                      out_dtype=np.dtype(out_dtype))
+        f = _q8_matmul_i8 if use_i8 else _q8_matmul
+    else:
+        f = _q4_matmul_i8 if use_i8 else _q4_matmul
+    return f(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
+             out_dtype=np.dtype(out_dtype))
 
 
 def _qmm_diff_fwd(meta, x2, qvals, scales):
