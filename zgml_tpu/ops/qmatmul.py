@@ -432,11 +432,12 @@ def _qmm_diff(meta, x2, qvals, scales):
     meaningless.
     """
     kind, bm, bn, bk, out_dtype = meta
-    # the int8-dot tier runs when the whole M fits one tile (decode/small
-    # batch — exactly where per-element dequant is the bottleneck; its
-    # activation-scale layout requires a single m-block). Large-M prefill
-    # amortizes dequant over many rows, so the f32 tier is right there.
-    use_i8 = _i8dot_enabled() and bm == x2.shape[0]
+    # the int8-dot tier runs when the whole M fits one small tile (decode /
+    # small serving batch — exactly where per-element dequant is the
+    # bottleneck). Its [nbk, bm, bn] int32 partials live in VMEM (16 MB), so
+    # bm is capped at 32; large-M prefill amortizes dequant over rows and
+    # stays on the f32 tier.
+    use_i8 = _i8dot_enabled() and bm == x2.shape[0] and bm <= 32
     if kind == "q8_0":
         f = _q8_matmul_i8 if use_i8 else _q8_matmul
     else:
