@@ -277,3 +277,37 @@ def test_flash_attention_edge_sweep(hq, hkv, tq, s, kv_len, q_off):
     want = refs.gqa_attention_ref(q, k, v, mask[None, None])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_ffn_q4_matches_separate():
+    """Q4_0 FFN megakernel == separate path (packed-half grid; the down
+    tile's lo/hi nibbles consume act from two F ranges)."""
+    from zgml_tpu.ops.ffn import ffn_compatible, fused_ffn_pallas
+    from zgml_tpu.quant.repack import (concat_packed, dequant_packed,
+                                       quantize_weight)
+    rng = np.random.default_rng(14)
+    d, f, m = 512, 1024, 5
+    wg = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    x = rng.standard_normal((m, d)).astype(np.float32)
+    pwd = _to_jax(quantize_weight(wd, "q4_0"))
+    gu = _to_jax(concat_packed([quantize_weight(wg, "q4_0", n_align=1),
+                                quantize_weight(wu, "q4_0", n_align=1)],
+                               part_pad=pwd.k_pad))
+    assert ffn_compatible(gu, pwd)
+    got = np.asarray(fused_ffn_pallas(jnp.asarray(x), gu, pwd))
+    g = x @ dequant_packed(quantize_weight(wg, "q4_0", n_align=1)).T
+    u = x @ dequant_packed(quantize_weight(wu, "q4_0", n_align=1)).T
+    act = (g / (1 + np.exp(-g))) * u
+    want = act @ dequant_packed(quantize_weight(wd, "q4_0")).T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.3)
+
+
+def test_fused_ffn_q4_7b_shape_compat():
+    """The 7B layout (d=4096, f=11008->11264) must route to the megakernel."""
+    from zgml_tpu.ops.ffn import ffn_compatible
+    from zgml_tpu.quant.repack import PackedWeight
+    gu = PackedWeight("q4_0", 22528, 4096, 22528, 4096, None, None)
+    wd = PackedWeight("q4_0", 4096, 11008, 4096, 11264, None, None)
+    assert ffn_compatible(gu, wd)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from zgml_tpu.ops.qmatmul import _q4_matmul
-from tools.ab_ratio import time_call_cheap, stream_fn, dma_stream
+from tools.ab_ratio import time_call_2pt, stream_fn, dma_stream
 
 
 def log(*a):
@@ -55,15 +55,15 @@ def main():
         variants[name] = (kfun, x, (q, s), nbytes)
 
     def dfun(x, q, s):
-        return x + dma_stream(q, bk=512, bn=11264)[:1, :8] * 1e-30
+        return x + dma_stream(x, q, bk=512, bn=2048)[:1, :8] * 1e-30
 
-    variants["dma_5.8MB"] = (dfun, jnp.zeros((1, 8), jnp.float32), (q, s),
+    variants["dma_1MB"] = (dfun, jnp.zeros((1, 8), jnp.float32), (q, s),
                              q.nbytes)
 
     for name, (f, x0, rest, nb) in variants.items():
         t0 = time.time()
         try:
-            time_call_cheap(f, x0, *rest, reps=2)
+            time_call_2pt(f, x0, *rest, r1=2, r2=4, trials=1)
             log(f"warm {name}: {time.time()-t0:.1f}s")
         except Exception as e:
             log(f"warm {name}: FAIL {str(e)[:160]}")
@@ -75,12 +75,12 @@ def main():
     ratios = {n: [] for n in names}
     for r in range(ROUNDS):
         f, x0, rest, nb = variants["stream"]
-        dt = time_call_cheap(f, x0, *rest, reps=12)
+        dt = time_call_2pt(f, x0, *rest, r1=8, r2=72)
         ref_bw = sbytes / dt
         log(f"round {r} stream: {ref_bw/1e9:7.1f} GB/s")
         for n in names:
             f, x0, rest, nb = variants[n]
-            dt = time_call_cheap(f, x0, *rest, reps=12)
+            dt = time_call_2pt(f, x0, *rest)
             bw = nb / dt
             ratios[n].append(bw / ref_bw)
             log(f"round {r} {n}: {bw/1e9:7.1f} GB/s  ratio {bw/ref_bw:.3f}")

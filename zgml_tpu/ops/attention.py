@@ -187,19 +187,26 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
 
 # -- decode attention ---------------------------------------------------------
 
-def _expand_lens(kv_len, b: int, hkv: int) -> jax.Array:
-    """Scalar or per-batch [B] kv_len -> per-(b*kv-head) SMEM vector
-    [B*Hkv] (continuous batching gives each sequence its own length)."""
+def _expand_lens(kv_len, b: int) -> jax.Array:
+    """Scalar or per-batch [B] kv_len -> SMEM vector [B] (continuous
+    batching gives each sequence its own length)."""
     lens = jnp.asarray(kv_len, jnp.int32)
     if lens.ndim == 0:
         lens = jnp.full((b,), lens, jnp.int32)
-    return jnp.repeat(lens.reshape(b, 1), hkv, axis=1).reshape(b * hkv)
+    return lens.reshape(b)
 
 
 def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                    *, bk: int, scale: float, n_kb: int, n_rep_pad: int):
+    """One grid step = ALL KV heads of one batch element over one KV block.
+
+    The previous grid (B*Hkv, S/bk) paid the fixed per-grid-step cost
+    (DMA setup + semaphores + body dispatch) 256x per call at 7B shapes
+    (32 heads x 8 blocks) — ~190us/call for 3MB of live KV, which made
+    decode attention HALF the 7B decode step. Folding heads into the block
+    (batched dots over the head dim) cuts the grid to (B, S/bk) = 8 steps."""
     kb = pl.program_id(1)
-    kv_len = len_ref[pl.program_id(0)]   # per-(batch*kv-head) valid length
+    kv_len = len_ref[pl.program_id(0)]   # per-batch-element valid length
 
     @pl.when(kb == 0)
     def _():
@@ -209,33 +216,36 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(kb * bk < kv_len)
     def _():
-        q = q_ref[0].astype(jnp.float32)           # [n_rep_pad, d] (rows = q heads)
-        k = k_ref[0].astype(jnp.float32)           # [bk, d]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        h, nr, d = q_ref.shape
+        q = q_ref[:].astype(jnp.float32)           # [H, nr, d] (rows = q heads)
+        k = k_ref[:].astype(jnp.float32)           # [H, bk, d]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
-        ki = jax.lax.broadcasted_iota(jnp.int32, (n_rep_pad, bk), 1) + kb * bk
-        s = jnp.where(ki < kv_len, s, NEG_INF)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (h, nr, bk), 2) + kb * bk
+        s = jnp.where(ki < kv_len, s, NEG_INF)     # [H, nr, bk]
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:, :1] = m_new
+        l_ref[:, :, :1] = (l_ref[:, :, :1] * alpha
+                           + jnp.sum(p, axis=2, keepdims=True))
+        m_ref[:, :, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p, v_ref[:].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)
     def _():
-        l = l_ref[:, :1]
+        l = l_ref[:, :, :1]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "scale", "n_rep_pad"))
-def _decode(qg, k, v, kv_len, *, bk: int, scale: float, n_rep_pad: int):
-    """qg: [BHkv, n_rep_pad, d], k/v: [BHkv, S, d], kv_len: int32 [BHkv].
+@functools.partial(jax.jit, static_argnames=("hkv", "bk", "scale", "n_rep_pad"))
+def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
+            n_rep_pad: int):
+    """qg: [B*Hkv, n_rep_pad, d], k/v: [B*Hkv, S, d], kv_len: int32 [B].
 
     KV blocks beyond each sequence's kv_len are clamped to the last live block
     in the index map (scalar prefetch), so their DMAs are elided: decode HBM
@@ -245,23 +255,24 @@ def _decode(qg, k, v, kv_len, *, bk: int, scale: float, n_rep_pad: int):
     _, s, _ = k.shape
     n_kb = s // bk
 
-    def kv_map(h, kb, lens_ref):
-        last_kb = jnp.maximum(lens_ref[h] - 1, 0) // bk
-        return (h, jnp.minimum(kb, last_kb), 0)
+    def kv_map(b_, kb, lens_ref):
+        last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bk
+        return (b_, jnp.minimum(kb, last_kb), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bhkv, n_kb),
+        grid=(bhkv // hkv, n_kb),
         in_specs=[
-            pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
-            pl.BlockSpec((1, bk, d), kv_map),
-            pl.BlockSpec((1, bk, d), kv_map),
+            pl.BlockSpec((hkv, nr, d), lambda b_, kb, lens_ref: (b_, 0, 0)),
+            pl.BlockSpec((hkv, bk, d), kv_map),
+            pl.BlockSpec((hkv, bk, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
+        out_specs=pl.BlockSpec((hkv, nr, d),
+                               lambda b_, kb, lens_ref: (b_, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((nr, 128), jnp.float32),
-            pltpu.VMEM((nr, 128), jnp.float32),
-            pltpu.VMEM((nr, d), jnp.float32),
+            pltpu.VMEM((hkv, nr, 128), jnp.float32),
+            pltpu.VMEM((hkv, nr, 128), jnp.float32),
+            pltpu.VMEM((hkv, nr, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -280,9 +291,10 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
                       n_kb: int, n_rep_pad: int, qk: int):
     """Flash decode directly over quantized KV (ref: attentionQuantized,
     src/quant.zig:925-1091): per KV tile, dequantize int8 K/V in VMEM
-    (sublane-broadcast scales) and run the online-softmax update."""
+    (sublane-broadcast scales) and run the online-softmax update.
+    Heads folded into the block like _decode_kernel (grid = (B, S/bs))."""
     kb = pl.program_id(1)
-    kv_len = len_ref[pl.program_id(0)]   # per-(batch*kv-head) valid length
+    kv_len = len_ref[pl.program_id(0)]   # per-batch-element valid length
 
     @pl.when(kb == 0)
     def _():
@@ -292,64 +304,69 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
 
     @pl.when(kb * bs < kv_len)
     def _():
-        q = q_ref[0].astype(jnp.float32)                       # [nr, d]
-        k_deq = kq_ref[0].astype(jnp.float32) * \
-            jnp.repeat(ks_ref[0], qk, axis=0)                  # [d, bs]
-        s = jnp.dot(q, k_deq, preferred_element_type=jnp.float32) * scale
-        ki = jax.lax.broadcasted_iota(jnp.int32, (n_rep_pad, bs), 1) + kb * bs
-        s = jnp.where(ki < kv_len, s, NEG_INF)
+        h, nr, d = q_ref.shape
+        q = q_ref[:].astype(jnp.float32)                       # [H, nr, d]
+        k_deq = kq_ref[:].astype(jnp.float32) * \
+            jnp.repeat(ks_ref[:], qk, axis=1)                  # [H, d, bs]
+        s = jax.lax.dot_general(q, k_deq, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        ki = jax.lax.broadcasted_iota(jnp.int32, (h, nr, bs), 2) + kb * bs
+        s = jnp.where(ki < kv_len, s, NEG_INF)                  # [H, nr, bs]
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                                  # [nr, bs]
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:, :1] = m_new
-        v_deq = vq_ref[0].astype(jnp.float32) * \
-            jnp.repeat(vs_ref[0], qk, axis=0)                  # [d, bs]
-        # acc = acc*alpha + p @ v_deq^T  (contract the lane/bs axis of both);
+        p = jnp.exp(s - m_new)                                  # [H, nr, bs]
+        l_ref[:, :, :1] = (l_ref[:, :, :1] * alpha
+                           + jnp.sum(p, axis=2, keepdims=True))
+        m_ref[:, :, :1] = m_new
+        v_deq = vq_ref[:].astype(jnp.float32) * \
+            jnp.repeat(vs_ref[:], qk, axis=1)                  # [H, d, bs]
+        # acc = acc*alpha + p @ v_deq^T (contract bs of both, batch over H);
         # the alpha rescale keeps earlier blocks on the running-max scale
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_deq, (((1,), (1,)), ((), ())),
+            p, v_deq, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)
     def _():
-        l = l_ref[:, :1]
+        l = l_ref[:, :, :1]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "scale", "n_rep_pad", "qk"))
-def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, bs: int, scale: float,
+@functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale",
+                                             "n_rep_pad", "qk"))
+def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int, scale: float,
                n_rep_pad: int, qk: int):
-    """qg: [BHkv, nr, d]; kq/vq: [BHkv, d, S]; ks/vs: [BHkv, d//qk, S];
-    kv_len: int32 [BHkv] scalar-prefetch (clamped index maps — dead-block
+    """qg: [B*Hkv, nr, d]; kq/vq: [B*Hkv, d, S]; ks/vs: [B*Hkv, d//qk, S];
+    kv_len: int32 [B] scalar-prefetch (clamped index maps — dead-block
     DMAs elided, traffic ∝ kv_len)."""
     bhkv, nr, d = qg.shape
     _, _, s_len = kq.shape
     n_kb = s_len // bs
     dq = d // qk
 
-    def kv_map(h, kb, lens_ref):
-        last_kb = jnp.maximum(lens_ref[h] - 1, 0) // bs
-        return (h, 0, jnp.minimum(kb, last_kb))
+    def kv_map(b_, kb, lens_ref):
+        last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bs
+        return (b_, 0, jnp.minimum(kb, last_kb))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bhkv, n_kb),
+        grid=(bhkv // hkv, n_kb),
         in_specs=[
-            pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
-            pl.BlockSpec((1, d, bs), kv_map),
-            pl.BlockSpec((1, dq, bs), kv_map),
-            pl.BlockSpec((1, d, bs), kv_map),
-            pl.BlockSpec((1, dq, bs), kv_map),
+            pl.BlockSpec((hkv, nr, d), lambda b_, kb, lens_ref: (b_, 0, 0)),
+            pl.BlockSpec((hkv, d, bs), kv_map),
+            pl.BlockSpec((hkv, dq, bs), kv_map),
+            pl.BlockSpec((hkv, d, bs), kv_map),
+            pl.BlockSpec((hkv, dq, bs), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, nr, d), lambda h, kb, lens_ref: (h, 0, 0)),
+        out_specs=pl.BlockSpec((hkv, nr, d),
+                               lambda b_, kb, lens_ref: (b_, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((nr, 128), jnp.float32),
-            pltpu.VMEM((nr, 128), jnp.float32),
-            pltpu.VMEM((nr, d), jnp.float32),
+            pltpu.VMEM((hkv, nr, 128), jnp.float32),
+            pltpu.VMEM((hkv, nr, 128), jnp.float32),
+            pltpu.VMEM((hkv, nr, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -376,13 +393,13 @@ def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
     bs_eff = min(bs, s)
     while s % bs_eff:
         bs_eff //= 2
-    lens = _expand_lens(kv_len, b, hkv)
+    lens = _expand_lens(kv_len, b)
     out = _decode_q8(qg, kq.reshape(b * hkv, d, s),
                      ks.reshape(b * hkv, d // QK, s),
                      vq.reshape(b * hkv, d, s),
                      vs.reshape(b * hkv, d // QK, s), lens,
-                     bs=bs_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad,
-                     qk=QK)
+                     hkv=hkv, bs=bs_eff, scale=1.0 / (d ** 0.5),
+                     n_rep_pad=nr_pad, qk=QK)
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
     return out.reshape(b, hq, 1, d)
 
@@ -401,8 +418,8 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     bk_eff = min(bk, s)
     while s % bk_eff:
         bk_eff //= 2
-    lens = _expand_lens(kv_len, b, hkv)
+    lens = _expand_lens(kv_len, b)
     out = _decode(qg, k.reshape(b * hkv, s, d), v.reshape(b * hkv, s, d), lens,
-                  bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad)
+                  hkv=hkv, bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad)
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
     return out.reshape(b, hq, 1, d)

@@ -9,8 +9,8 @@ the kernel level instead of the command-stream level.
 Layout contract (enforced by the loader): w_gate_up is a part-padded fused
 PackedWeight [Dp, 2*Fp] (columns [0,Fp)=gate+zeros, [Fp,2Fp)=up+zeros) and
 w_down is [Fp, Dp] — so F-tiles of gate/up align 1:1 with K-tiles of down, and
-zero-padded F columns contribute silu(0)*0 = 0. Q8_0 only (Q4 falls back to
-the separate-kernel path).
+zero-padded F columns contribute silu(0)*0 = 0. Q8_0 and Q4_0 (the Q4 variant
+grids over PACKED down-row tiles; see the _ffn_q4_kernel block comment).
 
 Grid: (M-tiles, F-tiles). Per step: K-chunked gate/up dots, SwiGLU on the VPU,
 D-chunked down-projection accumulated into a [bm, Dp] VMEM scratch.
@@ -105,13 +105,129 @@ def _ffn(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
     )(x, gu_q, gu_s, gu_q, gu_s, d_q, d_s)
 
 
+# -- Q4_0 megakernel ----------------------------------------------------------
+#
+# The Q4 planar layout half-splits along K globally (repack.py): a packed byte
+# row j of a [Kp/2, N] weight covers k=j (lo nibble) and k=j+Kp/2 (hi). For
+# w_down that K axis is F — so one packed row tile [bf, Dp] consumes act
+# values from TWO F ranges, [ff*bf, ..) and [Fp/2 + ff*bf, ..). The kernel
+# therefore computes gate/up for BOTH ranges per grid step (4 column tiles:
+# gate-lo/gate-hi/up-lo/up-hi), applies SwiGLU to each, and feeds the two act
+# halves to the down tile's lo/hi nibbles. Grid: (M-tiles, (Fp/2)//bf).
+
+def _ffn_q4_kernel(x_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
+                   gslo_ref, gshi_ref, uslo_ref, ushi_ref,
+                   dq_ref, dslo_ref, dshi_ref, o_ref, acc_ref,
+                   *, nf: int, ck: int, cd: int, out_dtype):
+    ff = pl.program_id(1)
+
+    @pl.when(ff == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    m, dp = x_ref.shape
+    kh = dp // 2                     # packed K rows of gate/up
+    bf = glo_ref.shape[1]
+
+    def gu_dot(w_ref, s_ref):
+        acc = jnp.zeros((m, bf), jnp.float32)
+        nsb = ck // QK
+        for c in range(kh // ck):
+            xlo = x_ref[:, c * ck:(c + 1) * ck]
+            xhi = x_ref[:, kh + c * ck: kh + (c + 1) * ck]
+            v = w_ref[c * ck:(c + 1) * ck, :].astype(jnp.int32)
+            sl = jnp.repeat(s_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+            sh = jnp.repeat(
+                s_ref[kh // QK + c * nsb: kh // QK + (c + 1) * nsb, :],
+                QK, axis=0)
+            wl = ((v & 15) - 8).astype(jnp.float32) * sl
+            wh = (((v >> 4) & 15) - 8).astype(jnp.float32) * sh
+            acc += (jnp.dot(xlo, wl, preferred_element_type=jnp.float32)
+                    + jnp.dot(xhi, wh, preferred_element_type=jnp.float32))
+        return acc
+
+    g_lo = gu_dot(glo_ref, gslo_ref)
+    g_hi = gu_dot(ghi_ref, gshi_ref)
+    u_lo = gu_dot(ulo_ref, uslo_ref)
+    u_hi = gu_dot(uhi_ref, ushi_ref)
+    act_lo = u_lo * (g_lo * jax.nn.sigmoid(g_lo))
+    act_hi = u_hi * (g_hi * jax.nn.sigmoid(g_hi))
+
+    for c in range(dp // cd):
+        v = dq_ref[:, c * cd:(c + 1) * cd].astype(jnp.int32)
+        sl = jnp.repeat(dslo_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        sh = jnp.repeat(dshi_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        wl = ((v & 15) - 8).astype(jnp.float32) * sl
+        wh = (((v >> 4) & 15) - 8).astype(jnp.float32) * sh
+        acc_ref[:, c * cd:(c + 1) * cd] += (
+            jnp.dot(act_lo, wl, preferred_element_type=jnp.float32)
+            + jnp.dot(act_hi, wh, preferred_element_type=jnp.float32))
+
+    @pl.when(ff == nf - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype"))
+def _ffn_q4(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
+            out_dtype):
+    """x [M, Dp]; gu_q int8 [Dp/2, 2*Fp] (K-half-split packed); d_q int8
+    [Fp/2, Dp] (F-half-split packed)."""
+    m, dp = x.shape
+    kh = dp // 2
+    fp = d_q.shape[0] * 2
+    nf = (fp // 2) // bf
+    nfh = nf                          # blocks per F-half, in bf units
+
+    gcol = lambda off: (lambda mb, ff, o=off: (0, ff + o))       # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_ffn_q4_kernel, nf=nf, ck=ck, cd=cd,
+                          out_dtype=out_dtype),
+        grid=(m // bm, nf),
+        in_specs=[
+            pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                         memory_space=pltpu.VMEM),                # x
+            pl.BlockSpec((kh, bf), gcol(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bf), gcol(nfh), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bf), gcol(2 * nfh), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bf), gcol(3 * nfh), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp // QK, bf), gcol(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp // QK, bf), gcol(nfh), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp // QK, bf), gcol(2 * nfh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp // QK, bf), gcol(3 * nfh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, dp), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),                # down qvals
+            pl.BlockSpec((bf // QK, dp), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),                # down s lo
+            pl.BlockSpec((bf // QK, dp), lambda mb, ff, o=nfh: (ff + o, 0),
+                         memory_space=pltpu.VMEM),                # down s hi
+        ],
+        out_specs=pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, dp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32)],
+        interpret=_interpret(),
+    )(x, gu_q, gu_q, gu_q, gu_q, gu_s, gu_s, gu_s, gu_s, d_q, d_s, d_s)
+
+
 def ffn_compatible(gu: PackedWeight, wd: PackedWeight) -> bool:
     """Layout contract check (see module docstring)."""
-    return (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)
-            and gu.kind == "q8_0" and wd.kind == "q8_0"
+    if not (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)
+            and gu.kind == wd.kind
             and gu.n_pad == 2 * wd.k_pad
-            and wd.k_pad % 256 == 0
-            and gu.k_pad % QK == 0 and gu.k_pad <= 8192)
+            and wd.n_pad == gu.k_pad      # acc tile [bm, Dp] spans both
+            and gu.k_pad % QK == 0 and gu.k_pad <= 8192):
+        return False
+    if gu.kind == "q8_0":
+        return wd.k_pad % 256 == 0
+    if gu.kind == "q4_0":
+        # packed halves of both weights must tile into >=256 chunks
+        return (wd.k_pad % 512 == 0 and (wd.k_pad // 2) % 256 == 0
+                and gu.k_pad % 512 == 0 and (gu.k_pad // 2) % 256 == 0)
+    return False
 
 
 def fused_ffn_pallas(x: jax.Array, gu: PackedWeight, wd: PackedWeight,
@@ -165,6 +281,14 @@ def _ffn_diff_bwd(meta, res, g):
 _ffn_diff.defvjp(_ffn_diff_fwd, _ffn_diff_bwd)
 
 
+def _chunk(total: int, limit: int = 1024, mult: int = 256) -> int:
+    """Largest multiple-of-`mult` divisor of total <= limit, else total."""
+    for cand in range(limit, 0, -mult):
+        if total % cand == 0:
+            return cand
+    return total
+
+
 def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -173,20 +297,28 @@ def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
     m_pad = max(8, (m + 7) // 8 * 8)
     if k < gu.k_pad or m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, gu.k_pad - k)))
+    bm = m_pad if m_pad <= 256 else 256
+    while m_pad % bm:
+        bm //= 2
+    if gu.kind == "q4_0":
+        # tiles over the PACKED halves (see _ffn_q4 docstring); bf=256 keeps
+        # per-step VMEM (4 gate/up tiles + down tile, double-buffered) ~8MB
+        fh = wd.k_pad // 2
+        bf = 256
+        while fh % bf:
+            bf //= 2
+        ck = _chunk(gu.k_pad // 2, 512)
+        cd = _chunk(gu.k_pad, 1024)
+        out = _ffn_q4(x2, gu.qvals, gu.scales, wd.qvals, wd.scales,
+                      bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype)
+        return out[:m, : wd.n].reshape(*lead, wd.n)
     fp = wd.k_pad
     bf = 512 if gu.k_pad <= 2048 else 256
     while fp % bf:
         bf //= 2
-    bm = m_pad if m_pad <= 256 else 256
-    while m_pad % bm:
-        bm //= 2
     # K-chunk: a multiple-of-256 divisor when one exists, else the whole K
     # (small models; keeps scale slices sublane-aligned either way)
-    ck = gu.k_pad
-    for cand in range(1024, 0, -256):
-        if gu.k_pad % cand == 0:
-            ck = cand
-            break
+    ck = _chunk(gu.k_pad, 1024)
     cd = ck
     out = _ffn(x2, gu.qvals, gu.scales, wd.qvals, wd.scales,
                bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype)

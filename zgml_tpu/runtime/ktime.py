@@ -21,37 +21,50 @@ import numpy as np
 from zgml_tpu.quant.repack import PackedWeight
 
 
-def time_call(f, x0, *rest, reps: int = 30, trials: int = 3) -> float:
-    """Best-of-`trials` mean seconds/call of f(x0, *rest), with the reps run
-    back-to-back ON DEVICE inside one lax.scan dispatch.
+def time_call(f, x0, *rest, reps: int = 32, reps2: int = 160,
+              trials: int = 3) -> float:
+    """Best-of-`trials` marginal seconds/call of f(x0, *rest), with the reps
+    run back-to-back ON DEVICE inside one lax.scan dispatch and the fixed
+    dispatch cost cancelled by a TWO-POINT fit.
 
-    Host-side per-dispatch overhead through the axon tunnel is ~2 ms — larger
-    than most kernels — so a python rep loop measures the tunnel, not the
-    kernel (measured: a 10 MB GEMV "took" 2.5 ms host-looped). The scan chains
-    iterations via a denormal-scaled output fold (serial dependency, no CSE),
-    so the measured window is pure device time. The chip is TIME-SHARED
-    behind the tunnel (observed: the same kernel 33->258 GB/s between runs);
-    best-of-trials takes the least-contended window. x0 must be a float array
-    (the fold target); the warmup value-fetches because block_until_ready
-    returns early through the tunnel."""
-    @jax.jit
-    def loop(x, *rest):
-        def body(x, _):
-            out = f(x, *rest)
-            leaf = jax.tree.leaves(out)[0]
-            dep = leaf.ravel()[0].astype(x.dtype) * 1e-30
-            return x + dep, ()
-        x, _ = jax.lax.scan(body, x, length=reps)
-        return x
+    Two tunnel artifacts poison naive timing here: (1) host-side per-dispatch
+    overhead is ~2 ms, so a python rep loop measures the tunnel, not the
+    kernel; (2) the value-fetch barrier costs a ~30 ms RTT, so even a single
+    scan-chained window of N reps reads `RTT/N + kernel` — at reps=30 a 100us
+    kernel "measures" 1.1 ms (this corrupted the first recorded 7B kernel
+    table). The scan chains iterations via a denormal-scaled output fold
+    (serial dependency, no CSE), and the slope (t(reps2) - t(reps)) /
+    (reps2 - reps) cancels every fixed cost exactly. The chip is TIME-SHARED
+    (same kernel 33->258 GB/s between windows); best-of-trials keeps the
+    least-contended slope. x0 must be a float array (the fold target)."""
+    def make_loop(n):
+        @jax.jit
+        def loop(x, *rest):
+            def body(x, _):
+                out = f(x, *rest)
+                leaf = jax.tree.leaves(out)[0]
+                dep = leaf.ravel()[0].astype(x.dtype) * 1e-30
+                return x + dep, ()
+            x, _ = jax.lax.scan(body, x, length=n)
+            return x
+        return loop
 
-    for _ in range(2):
-        float(np.asarray(loop(x0, *rest)).ravel()[0])
-    best = float("inf")
+    loop1, loop2 = make_loop(reps), make_loop(reps2)
+    for loop in (loop1, loop2):
+        float(np.asarray(loop(x0, *rest)).ravel()[0])   # compile + warm
+    slopes = []
     for _ in range(trials):
         t0 = time.time()
-        float(np.asarray(loop(x0, *rest)).ravel()[0])
-        best = min(best, time.time() - t0)
-    return best / reps
+        float(np.asarray(loop1(x0, *rest)).ravel()[0])
+        t1 = time.time()
+        float(np.asarray(loop2(x0, *rest)).ravel()[0])
+        t2 = time.time()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (reps2 - reps))
+    # median, not min: a contended short-rep window next to a clean long-rep
+    # window yields a spuriously tiny (even negative) slope, so min-of-trials
+    # undershoots (a 31MB-read kernel once "measured" 4980 GB/s)
+    pos = [s for s in slopes if s > 0]
+    return float(np.median(pos)) if pos else (t2 - t1) / reps2
 
 
 def _layer0(leaf):
