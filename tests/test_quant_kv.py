@@ -16,7 +16,7 @@ def test_quantize_columns_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 3, 5, 64)).astype(np.float32))
     q, s = quantize_columns(x)
-    assert q.shape == (2, 3, 64, 5) and s.shape == (2, 3, 2, 5)
+    assert q.shape == (2, 3, 64, 5) and s.shape == (2, 3, 5)
     back = dequantize_cache(q, s)
     err = np.abs(np.asarray(back) - np.asarray(x))
     amax = np.abs(np.asarray(x)).max()

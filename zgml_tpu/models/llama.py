@@ -217,7 +217,8 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             # flash over the slot's dequantized row (the int8 row slice is
             # 3.6x smaller than the f32 transient it expands to)
             dus4 = lambda c, u: jax.lax.dynamic_update_slice(   # noqa: E731
-                c, u, (cache_row, 0, 0, pos))
+                c, u, (cache_row, 0, 0, pos) if u.ndim == 4
+                else (cache_row, 0, pos))     # scales are [B, H, S]
             cache_k = (dus4(cache_k[0], kq_new), dus4(cache_k[1], ks_new))
             cache_v = (dus4(cache_v[0], vq_new), dus4(cache_v[1], vs_new))
             row = lambda c: jax.lax.dynamic_slice_in_dim(       # noqa: E731
@@ -227,7 +228,7 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             att = ops.flash_attention(q, kf, vf, kv_len=kv_len, q_offset=pos)
         elif per_row:
             dus = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
-                c, u, (0, 0, p)))
+                c, u, (0, 0, p) if u.ndim == 3 else (0, p)))
             cache_k = (dus(cache_k[0], kq_new, wp), dus(cache_k[1], ks_new, wp))
             cache_v = (dus(cache_v[0], vq_new, wp), dus(cache_v[1], vs_new, wp))
         else:

@@ -286,13 +286,26 @@ def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
 
 # -- decode attention over int8 quantized KV ---------------------------------
 
-def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
-                      m_ref, l_ref, acc_ref, *, bs: int, scale: float,
-                      n_kb: int, n_rep_pad: int, qk: int):
-    """Flash decode directly over quantized KV (ref: attentionQuantized,
-    src/quant.zig:925-1091): per KV tile, dequantize int8 K/V in VMEM
-    (sublane-broadcast scales) and run the online-softmax update.
-    Heads folded into the block like _decode_kernel (grid = (B, S/bs))."""
+def _pq_int8() -> bool:
+    """Quantize the attention weights (p) to int8 for the value contraction
+    (full ggml vec-dot discipline, both MXU dots int8); ZGML_TPU_ATTN_I8PV=0
+    keeps p in f32 (V promoted in the dot) for A/B and accuracy checks."""
+    return os.environ.get("ZGML_TPU_ATTN_I8PV", "1") != "0"
+
+
+def _decode_q8_kernel(len_ref, qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                      o_ref, m_ref, l_ref, acc_ref, *, bs: int, scale: float,
+                      n_kb: int, pq_i8: bool):
+    """Flash decode over int8 KV with **int8 MXU dots** (ref:
+    attentionQuantized, src/quant.zig:925-1091 — Q is pre-quantized once,
+    K·Q and P·V run in the integer domain).
+
+    Per-position scales factor OUT of both contractions:
+      scores  = (q_i8 . k_i8)_i32 * q_scale[row] * k_scale[pos]
+      out    += (pq_i8 . v_i8)_i32 * p_scale[row],  pq = quant(p * v_scale)
+    so per-element VPU work is O(nr * bs) (score-sized), not O(d * bs)
+    (cache-sized) like the round-1 dequant-in-VMEM kernel — which lost to
+    bf16 below ~2k context. Heads folded into the block (grid = (B, S/bs))."""
     kb = pl.program_id(1)
     kv_len = len_ref[pl.program_id(0)]   # per-batch-element valid length
 
@@ -304,12 +317,12 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
 
     @pl.when(kb * bs < kv_len)
     def _():
-        h, nr, d = q_ref.shape
-        q = q_ref[:].astype(jnp.float32)                       # [H, nr, d]
-        k_deq = kq_ref[:].astype(jnp.float32) * \
-            jnp.repeat(ks_ref[:], qk, axis=1)                  # [H, d, bs]
-        s = jax.lax.dot_general(q, k_deq, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
+        h, nr, d = qq_ref.shape
+        p_i32 = jax.lax.dot_general(
+            qq_ref[:], kq_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)                   # [H, nr, bs]
+        sc = qs_ref[0][:, :, None] * ks_ref[0][:, None, :] * scale
+        s = p_i32.astype(jnp.float32) * sc
         ki = jax.lax.broadcasted_iota(jnp.int32, (h, nr, bs), 2) + kb * bs
         s = jnp.where(ki < kv_len, s, NEG_INF)                  # [H, nr, bs]
 
@@ -320,13 +333,24 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
         l_ref[:, :, :1] = (l_ref[:, :, :1] * alpha
                            + jnp.sum(p, axis=2, keepdims=True))
         m_ref[:, :, :1] = m_new
-        v_deq = vq_ref[:].astype(jnp.float32) * \
-            jnp.repeat(vs_ref[:], qk, axis=1)                  # [H, d, bs]
-        # acc = acc*alpha + p @ v_deq^T (contract bs of both, batch over H);
-        # the alpha rescale keeps earlier blocks on the running-max scale
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_deq, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        # fold the per-position V scales into p, then contract with raw int8
+        # V; the alpha rescale keeps earlier blocks on the running-max scale
+        pv = p * vs_ref[0][:, None, :]                          # [H, nr, bs]
+        if pq_i8:
+            pmax = jnp.max(pv, axis=2, keepdims=True)           # pv >= 0
+            psc = pmax / 127.0
+            pinv = jnp.where(psc > 0, 1.0 / jnp.where(psc > 0, psc, 1.0), 0.0)
+            pq = jnp.round(pv * pinv).astype(jnp.int8)
+            o_i32 = jax.lax.dot_general(
+                pq, vq_ref[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)               # [H, nr, d]
+            upd = o_i32.astype(jnp.float32) * psc
+        else:
+            upd = jax.lax.dot_general(
+                pv, vq_ref[:].astype(jnp.float32),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + upd
 
     @pl.when(kb == n_kb - 1)
     def _():
@@ -335,19 +359,22 @@ def _decode_q8_kernel(len_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
         o_ref[:] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale",
-                                             "n_rep_pad", "qk"))
-def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int, scale: float,
-               n_rep_pad: int, qk: int):
-    """qg: [B*Hkv, nr, d]; kq/vq: [B*Hkv, d, S]; ks/vs: [B*Hkv, d//qk, S];
-    kv_len: int32 [B] scalar-prefetch (clamped index maps — dead-block
-    DMAs elided, traffic ∝ kv_len)."""
-    bhkv, nr, d = qg.shape
+@functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale", "pq_i8"))
+def _decode_q8(qq, qs, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int,
+               scale: float, pq_i8: bool):
+    """qq: int8 [B*Hkv, nr, d]; qs: f32 [B, Hkv, nr]; kq/vq: int8
+    [B*Hkv, d, S]; ks/vs: f32 [B, Hkv, S] (scales 3D so their last-two block
+    dims are full/lane-aligned); kv_len: int32 [B] scalar-prefetch (clamped
+    index maps — dead-block DMAs elided, traffic ∝ kv_len)."""
+    bhkv, nr, d = qq.shape
     _, _, s_len = kq.shape
     n_kb = s_len // bs
-    dq = d // qk
 
     def kv_map(b_, kb, lens_ref):
+        last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bs
+        return (b_, 0, jnp.minimum(kb, last_kb))
+
+    def sc_map(b_, kb, lens_ref):
         last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bs
         return (b_, 0, jnp.minimum(kb, last_kb))
 
@@ -356,10 +383,11 @@ def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int, scale: float,
         grid=(bhkv // hkv, n_kb),
         in_specs=[
             pl.BlockSpec((hkv, nr, d), lambda b_, kb, lens_ref: (b_, 0, 0)),
+            pl.BlockSpec((1, hkv, nr), lambda b_, kb, lens_ref: (b_, 0, 0)),
             pl.BlockSpec((hkv, d, bs), kv_map),
-            pl.BlockSpec((hkv, dq, bs), kv_map),
+            pl.BlockSpec((1, hkv, bs), sc_map),
             pl.BlockSpec((hkv, d, bs), kv_map),
-            pl.BlockSpec((hkv, dq, bs), kv_map),
+            pl.BlockSpec((1, hkv, bs), sc_map),
         ],
         out_specs=pl.BlockSpec((hkv, nr, d),
                                lambda b_, kb, lens_ref: (b_, 0, 0)),
@@ -371,37 +399,42 @@ def _decode_q8(qg, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int, scale: float,
     )
     return pl.pallas_call(
         functools.partial(_decode_q8_kernel, bs=bs, scale=scale, n_kb=n_kb,
-                          n_rep_pad=nr, qk=qk),
+                          pq_i8=pq_i8),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
+        out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), jnp.float32),
         interpret=_interpret(),
-    )(kv_len, qg, kq, ks, vq, vs)
+    )(kv_len, qq, qs, kq, ks, vq, vs)
 
 
 def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
                                bs: int = 256) -> jax.Array:
-    """q [B,Hq,1,d]; kq/vq int8 [B,Hkv,d,S]; ks/vs f32 [B,Hkv,d//blk,S]."""
+    """q [B,Hq,1,d]; kq/vq int8 [B,Hkv,d,S]; ks/vs f32 [B,Hkv,S]."""
     b, hq, _, d = q.shape
     _, hkv, _, s = kq.shape
-    QK = d // ks.shape[2]   # kv quant block (32, or d for tiny heads)
     n_rep = hq // hkv
     nr_pad = max(8, n_rep)
-    qg = q.reshape(b, hkv, n_rep, d)
+    qg = q.reshape(b, hkv, n_rep, d).astype(jnp.float32)
     if nr_pad != n_rep:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, nr_pad - n_rep), (0, 0)))
     qg = qg.reshape(b * hkv, nr_pad, d)
+    # pre-quantize Q once per call (ref: quant.zig:934-949); XLA fuses this
+    qmax = jnp.max(jnp.abs(qg), axis=2)                       # [B*Hkv, nr]
+    qsc = qmax / 127.0
+    qinv = jnp.where(qsc > 0, 1.0 / jnp.where(qsc > 0, qsc, 1.0), 0.0)
+    qq = jnp.clip(jnp.round(qg * qinv[:, :, None]), -127, 127).astype(jnp.int8)
     bs_eff = min(bs, s)
     while s % bs_eff:
         bs_eff //= 2
     lens = _expand_lens(kv_len, b)
-    out = _decode_q8(qg, kq.reshape(b * hkv, d, s),
-                     ks.reshape(b * hkv, d // QK, s),
+    out = _decode_q8(qq, qsc.reshape(b, hkv, nr_pad),
+                     kq.reshape(b * hkv, d, s),
+                     ks.reshape(b, hkv, s),
                      vq.reshape(b * hkv, d, s),
-                     vs.reshape(b * hkv, d // QK, s), lens,
+                     vs.reshape(b, hkv, s), lens,
                      hkv=hkv, bs=bs_eff, scale=1.0 / (d ** 0.5),
-                     n_rep_pad=nr_pad, qk=QK)
+                     pq_i8=_pq_int8())
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
-    return out.reshape(b, hq, 1, d)
+    return out.reshape(b, hq, 1, d).astype(q.dtype)
 
 
 def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,

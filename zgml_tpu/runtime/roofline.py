@@ -97,9 +97,8 @@ def kv_bytes_per_token(cfg, kv_len: int, cache_dtype) -> int:
     proportional to kv_len, not max_seq."""
     elems = 2 * cfg.n_layers * cfg.n_kv_heads * cfg.head_dim * kv_len
     if cache_dtype == "int8":
-        from zgml_tpu.quant.kv_cache import kv_block
-        blk = kv_block(cfg.head_dim)
-        return elems + (elems // blk) * 4          # int8 vals + f32 scales
+        # int8 vals + one f32 scale per cached position per head
+        return elems + (elems // cfg.head_dim) * 4
     return elems * jnp.dtype(cache_dtype).itemsize
 
 

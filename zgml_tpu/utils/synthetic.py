@@ -51,7 +51,11 @@ def write_synthetic_llama_gguf(path: str, cfg: LlamaConfig,
     w.add_metadata("llama.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
 
     def rand(*shape):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # f32 RNG directly: the f64 default doubles both RNG time and peak
+        # memory, which matters at 7B (~27 GB of draws)
+        out = rng.standard_normal(shape, dtype=np.float32)
+        out *= scale
+        return out
 
     # norms/embeddings stay f32 (the reference also dequantizes these,
     # gguf_loader.zig:171-204)
