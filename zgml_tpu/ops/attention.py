@@ -31,6 +31,12 @@ def _interpret() -> bool:
     return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
 
 
+def _dyngrid() -> bool:
+    """Dynamic KV grid dims (steps ∝ kv_len); ZGML_TPU_DYNGRID=0 restores
+    static max_seq grids (compute-skipped dead steps, ~1us each)."""
+    return os.environ.get("ZGML_TPU_DYNGRID", "1") != "0"
+
+
 # -- prefill flash attention --------------------------------------------------
 
 def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
@@ -197,15 +203,18 @@ def _expand_lens(kv_len, b: int) -> jax.Array:
 
 
 def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                   *, bk: int, scale: float, n_kb: int, n_rep_pad: int):
+                   *, bk: int, scale: float, n_rep_pad: int):
     """One grid step = ALL KV heads of one batch element over one KV block.
 
-    The previous grid (B*Hkv, S/bk) paid the fixed per-grid-step cost
+    The round-1 grid (B*Hkv, S/bk) paid the fixed per-grid-step cost
     (DMA setup + semaphores + body dispatch) 256x per call at 7B shapes
     (32 heads x 8 blocks) — ~190us/call for 3MB of live KV, which made
     decode attention HALF the 7B decode step. Folding heads into the block
-    (batched dots over the head dim) cuts the grid to (B, S/bk) = 8 steps."""
+    (batched dots over the head dim) cuts the grid to (B, S/bk); the KV grid
+    dim is DYNAMIC — ceil(max(kv_len)/bk) — so short contexts run 1-2 steps
+    instead of S/bk compute-skipped ones (measured ~1us each)."""
     kb = pl.program_id(1)
+    n_kb = pl.num_programs(1)
     kv_len = len_ref[pl.program_id(0)]   # per-batch-element valid length
 
     @pl.when(kb == 0)
@@ -242,9 +251,10 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[:] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hkv", "bk", "scale", "n_rep_pad"))
+@functools.partial(jax.jit, static_argnames=("hkv", "bk", "scale",
+                                             "n_rep_pad", "dyn"))
 def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
-            n_rep_pad: int):
+            n_rep_pad: int, dyn: bool = True):
     """qg: [B*Hkv, n_rep_pad, d], k/v: [B*Hkv, S, d], kv_len: int32 [B].
 
     KV blocks beyond each sequence's kv_len are clamped to the last live block
@@ -253,7 +263,14 @@ def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
     """
     bhkv, nr, d = qg.shape
     _, s, _ = k.shape
-    n_kb = s // bk
+    # dynamic KV grid dim: only ceil(max(kv_len)/bk) steps run (same compiled
+    # program for every context length — no recompilation);
+    # ZGML_TPU_DYNGRID=0 restores the static full grid
+    if dyn:
+        n_kb = jnp.clip(
+            (jnp.max(kv_len) + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
+    else:
+        n_kb = s // bk
 
     def kv_map(b_, kb, lens_ref):
         last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bk
@@ -276,8 +293,7 @@ def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_decode_kernel, bk=bk, scale=scale, n_kb=n_kb,
-                          n_rep_pad=nr),
+        functools.partial(_decode_kernel, bk=bk, scale=scale, n_rep_pad=nr),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
         interpret=_interpret(),
@@ -288,14 +304,17 @@ def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
 
 def _pq_int8() -> bool:
     """Quantize the attention weights (p) to int8 for the value contraction
-    (full ggml vec-dot discipline, both MXU dots int8); ZGML_TPU_ATTN_I8PV=0
-    keeps p in f32 (V promoted in the dot) for A/B and accuracy checks."""
-    return os.environ.get("ZGML_TPU_ATTN_I8PV", "1") != "0"
+    (full ggml vec-dot discipline, both MXU dots int8). Default OFF: the
+    in-kernel f32->int8 round/convert legalizes poorly on Mosaic (measured
+    18-56us vs 3-10us for the f32-p variant at 7B shapes), so folding the
+    per-position V scales into p and letting the dot promote int8 V wins on
+    both speed AND accuracy (~0.7% vs ~3.5% max rel err)."""
+    return os.environ.get("ZGML_TPU_ATTN_I8PV", "0") == "1"
 
 
 def _decode_q8_kernel(len_ref, qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                       o_ref, m_ref, l_ref, acc_ref, *, bs: int, scale: float,
-                      n_kb: int, pq_i8: bool):
+                      pq_i8: bool):
     """Flash decode over int8 KV with **int8 MXU dots** (ref:
     attentionQuantized, src/quant.zig:925-1091 — Q is pre-quantized once,
     K·Q and P·V run in the integer domain).
@@ -305,8 +324,10 @@ def _decode_q8_kernel(len_ref, qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref,
       out    += (pq_i8 . v_i8)_i32 * p_scale[row],  pq = quant(p * v_scale)
     so per-element VPU work is O(nr * bs) (score-sized), not O(d * bs)
     (cache-sized) like the round-1 dequant-in-VMEM kernel — which lost to
-    bf16 below ~2k context. Heads folded into the block (grid = (B, S/bs))."""
+    bf16 below ~2k context. Heads folded into the block; KV grid dim dynamic
+    (grid = (B, ceil(max(kv_len)/bs)), see _decode_kernel)."""
     kb = pl.program_id(1)
+    n_kb = pl.num_programs(1)
     kv_len = len_ref[pl.program_id(0)]   # per-batch-element valid length
 
     @pl.when(kb == 0)
@@ -359,16 +380,21 @@ def _decode_q8_kernel(len_ref, qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         o_ref[:] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale", "pq_i8"))
+@functools.partial(jax.jit, static_argnames=("hkv", "bs", "scale", "pq_i8",
+                                             "dyn"))
 def _decode_q8(qq, qs, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int,
-               scale: float, pq_i8: bool):
+               scale: float, pq_i8: bool, dyn: bool = True):
     """qq: int8 [B*Hkv, nr, d]; qs: f32 [B, Hkv, nr]; kq/vq: int8
     [B*Hkv, d, S]; ks/vs: f32 [B, Hkv, S] (scales 3D so their last-two block
     dims are full/lane-aligned); kv_len: int32 [B] scalar-prefetch (clamped
     index maps — dead-block DMAs elided, traffic ∝ kv_len)."""
     bhkv, nr, d = qq.shape
     _, _, s_len = kq.shape
-    n_kb = s_len // bs
+    if dyn:
+        n_kb = jnp.clip(
+            (jnp.max(kv_len) + bs - 1) // bs, 1, s_len // bs).astype(jnp.int32)
+    else:
+        n_kb = s_len // bs
 
     def kv_map(b_, kb, lens_ref):
         last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bs
@@ -398,7 +424,7 @@ def _decode_q8(qq, qs, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_decode_q8_kernel, bs=bs, scale=scale, n_kb=n_kb,
+        functools.partial(_decode_q8_kernel, bs=bs, scale=scale,
                           pq_i8=pq_i8),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), jnp.float32),
@@ -407,8 +433,11 @@ def _decode_q8(qq, qs, kq, ks, vq, vs, kv_len, *, hkv: int, bs: int,
 
 
 def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
-                               bs: int = 256) -> jax.Array:
-    """q [B,Hq,1,d]; kq/vq int8 [B,Hkv,d,S]; ks/vs f32 [B,Hkv,S]."""
+                               bs: int = 256,
+                               pq_i8: bool | None = None) -> jax.Array:
+    """q [B,Hq,1,d]; kq/vq int8 [B,Hkv,d,S]; ks/vs f32 [B,Hkv,S].
+
+    pq_i8 overrides the ZGML_TPU_ATTN_I8PV default (per-call A/B)."""
     b, hq, _, d = q.shape
     _, hkv, _, s = kq.shape
     n_rep = hq // hkv
@@ -432,7 +461,8 @@ def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
                      vq.reshape(b * hkv, d, s),
                      vs.reshape(b, hkv, s), lens,
                      hkv=hkv, bs=bs_eff, scale=1.0 / (d ** 0.5),
-                     pq_i8=_pq_int8())
+                     pq_i8=_pq_int8() if pq_i8 is None else pq_i8,
+                     dyn=_dyngrid())
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
     return out.reshape(b, hq, 1, d).astype(q.dtype)
 
@@ -453,6 +483,7 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         bk_eff //= 2
     lens = _expand_lens(kv_len, b)
     out = _decode(qg, k.reshape(b * hkv, s, d), v.reshape(b * hkv, s, d), lens,
-                  hkv=hkv, bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad)
+                  hkv=hkv, bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad,
+                  dyn=_dyngrid())
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
     return out.reshape(b, hq, 1, d)

@@ -477,6 +477,31 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+def _i8_tiles(kind: str, m_pad: int, k_eff: int, n_pad: int,
+              budget: int = 8 << 20) -> tuple[int, int]:
+    """(bn, bk) for the int8-dot tier: PREFER WIDE column blocks.
+
+    The weight array is K-major [k, n]; a [bk, bn] block DMAs as k rows of
+    bn-byte runs, so bn IS the HBM run length — and each grid step pays a
+    fixed ~0.5-2us (measured: a [2048x2560] wqkv at bn=640 ran at 107 GB/s
+    vs ~600 for wide-block weights). Maximize bn (full row = one contiguous
+    run) subject to VMEM: double-buffered weight block + the int32 partials
+    tensor [bk/32, bm, bn] (x2 for the q4 half-split's two partial sets)."""
+    halves = 2 if kind == "q4_0" else 1
+    bn = n_pad
+    while bn >= 128:
+        bn = _choose_tile(n_pad, bn, 128)
+        for bk_lim in (1024, 512, 256):
+            bk = _choose_tile(k_eff, bk_lim, 256)
+            cost = (2 * bk * bn                     # weight double-buffer
+                    + (bk // QK) * m_pad * bn * 4 * halves   # i32 partials
+                    + 3 * m_pad * bn * 4)           # acc + out
+            if cost <= budget:
+                return bn, bk
+        bn -= 128
+    return _choose_tile(n_pad, 1024, 128), _choose_tile(k_eff, 256, 256)
+
+
 def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
                    bn: int = 1024, bk: int = 512,
                    out_dtype=jnp.float32) -> jax.Array:
@@ -494,14 +519,15 @@ def qmatmul_pallas(x: jax.Array, pw: PackedWeight,
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, pw.k_pad - k)))
     # choose tile sizes that divide the padded dims and satisfy Mosaic's
     # block constraints (scales sublane dim bk/32 must be 8-divisible or full)
-    bn_eff = _choose_tile(pw.n_pad, bn, mult=128)
-    bm = m_pad if m_pad <= 512 else _choose_tile(m_pad, 256, mult=8)
-    if pw.kind == "q8_0":
-        bk_eff = _choose_tile(pw.k_pad, bk, mult=256)
-    elif pw.kind == "q4_0":
-        bk_eff = _choose_tile(pw.k_pad // 2, bk, mult=256)
-    else:
+    k_eff = pw.k_pad if pw.kind == "q8_0" else pw.k_pad // 2
+    if pw.kind not in ("q8_0", "q4_0"):
         raise ValueError(pw.kind)
+    bm = m_pad if m_pad <= 512 else _choose_tile(m_pad, 256, mult=8)
+    if _i8dot_enabled() and bm == m_pad and bm <= 32:
+        bn_eff, bk_eff = _i8_tiles(pw.kind, m_pad, k_eff, pw.n_pad)
+    else:
+        bn_eff = _choose_tile(pw.n_pad, bn, mult=128)
+        bk_eff = _choose_tile(k_eff, bk, mult=256)
     # routed through the custom_vjp wrapper so jax.grad reaches the Pallas
     # transposed-dequant backward; zero overhead when not differentiating
     out = _qmm_diff((pw.kind, bm, bn_eff, bk_eff, np.dtype(out_dtype).name),

@@ -37,19 +37,7 @@ def time_call(f, x0, *rest, reps: int = 32, reps2: int = 160,
     (reps2 - reps) cancels every fixed cost exactly. The chip is TIME-SHARED
     (same kernel 33->258 GB/s between windows); best-of-trials keeps the
     least-contended slope. x0 must be a float array (the fold target)."""
-    def make_loop(n):
-        @jax.jit
-        def loop(x, *rest):
-            def body(x, _):
-                out = f(x, *rest)
-                leaf = jax.tree.leaves(out)[0]
-                dep = leaf.ravel()[0].astype(x.dtype) * 1e-30
-                return x + dep, ()
-            x, _ = jax.lax.scan(body, x, length=n)
-            return x
-        return loop
-
-    loop1, loop2 = make_loop(reps), make_loop(reps2)
+    loop1, loop2 = _make_loop(f, reps), _make_loop(f, reps2)
     for loop in (loop1, loop2):
         float(np.asarray(loop(x0, *rest)).ravel()[0])   # compile + warm
     slopes = []
@@ -65,6 +53,68 @@ def time_call(f, x0, *rest, reps: int = 32, reps2: int = 160,
     # undershoots (a 31MB-read kernel once "measured" 4980 GB/s)
     pos = [s for s in slopes if s > 0]
     return float(np.median(pos)) if pos else (t2 - t1) / reps2
+
+
+def _make_loop(f, n: int):
+    @jax.jit
+    def loop(x, *rest):
+        def body(x, _):
+            out = f(x, *rest)
+            leaf = jax.tree.leaves(out)[0]
+            dep = leaf.ravel()[0].astype(x.dtype) * 1e-30
+            return x + dep, ()
+        x, _ = jax.lax.scan(body, x, length=n)
+        return x
+    return loop
+
+
+def time_ab(variants: dict, reps: int = 30, reps2: int = 160,
+            rounds: int = 3) -> dict:
+    """Interleaved A/B of several kernels/steps on a TIME-SHARED chip.
+
+    time_call times each variant's trials back-to-back, so minutes-scale
+    contention drift biases whichever variant ran in the worse window (two
+    same-code runs disagreed 20% on a full-step A/B). Here every round times
+    each variant once (two-point fit), so all variants share each round's
+    window; the per-variant median-of-positive-slopes then compares like
+    with like. variants: {name: (f, x0, *rest)} -> {name: sec/call}.
+    A variant name may map to ((f, x0, *rest), {env}) to set env vars during
+    its compile (dispatch tier gates read the env at trace time)."""
+    import os
+    comp = {}
+    for name, spec in variants.items():
+        env = {}
+        if (len(spec) == 2 and isinstance(spec[1], dict)
+                and isinstance(spec[0], tuple)):
+            spec, env = spec
+        f, x0, *rest = spec
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            l1, l2 = _make_loop(f, reps), _make_loop(f, reps2)
+            float(np.asarray(l1(x0, *rest)).ravel()[0])   # compile + warm
+            float(np.asarray(l2(x0, *rest)).ravel()[0])
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = old
+        comp[name] = (l1, l2, x0, rest)
+    slopes = {n: [] for n in variants}
+    for _ in range(rounds):
+        for name, (l1, l2, x0, rest) in comp.items():
+            t0 = time.time()
+            float(np.asarray(l1(x0, *rest)).ravel()[0])
+            t1 = time.time()
+            float(np.asarray(l2(x0, *rest)).ravel()[0])
+            t2 = time.time()
+            slopes[name].append(((t2 - t1) - (t1 - t0)) / (reps2 - reps))
+    out = {}
+    for n, ss in slopes.items():
+        pos = [s for s in ss if s > 0]
+        out[n] = float(np.median(pos)) if pos else max(ss)
+    return out
 
 
 def _layer0(leaf):
