@@ -1,0 +1,136 @@
+"""Conformance tests for the fused attention-block megakernel vs a composed
+jnp oracle (rmsnorm -> qkv -> rope -> cache+self attention -> wo -> residual).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zgml_tpu.models.llama import LlamaConfig
+from zgml_tpu.ops import refs
+from zgml_tpu.ops.layerkernel import (attn_block_compatible, attn_block_step)
+from zgml_tpu.quant.headmajor import attach_head_major
+from zgml_tpu.quant.repack import concat_packed, dequant_packed, \
+    quantize_weight
+
+
+def _mk(cfg, kind, seed=0):
+    rng = np.random.default_rng(seed)
+    d, hd = cfg.d_model, cfg.head_dim
+    nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+
+    def qw(n, k):
+        w = rng.standard_normal((n, k)).astype(np.float32) * 0.08
+        return quantize_weight(w, kind, n_align=1)
+
+    wq, wk, wv = qw(nq, d), qw(nkv, d), qw(nkv, d)
+    wqkv = concat_packed([wq, wk, wv])
+    wo = quantize_weight(
+        rng.standard_normal((d, nq)).astype(np.float32) * 0.08, kind)
+    layer = {"wqkv": wqkv, "wo": wo,
+             "attn_norm": jnp.asarray(
+                 1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))}
+    assert attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads, hd)
+    return layer
+
+
+def _oracle(cfg, layer, x, cache_k, cache_v, pos):
+    d, hd = cfg.d_model, cfg.head_dim
+    hq, hkv = cfg.n_heads, cfg.n_kv_heads
+    nq, nkv = hq * hd, hkv * hd
+    g = np.asarray(layer["attn_norm"])
+    xn = np.asarray(x).reshape(d)
+    xn = xn / np.sqrt((xn * xn).mean() + cfg.rms_norm_eps) * g
+    wqkv = dequant_packed(layer["wqkv"])          # [n, k]
+    qkv = xn @ wqkv.T                             # [nq + 2nkv]
+    q = qkv[:nq].reshape(hq, hd)
+    k = qkv[nq:nq + nkv].reshape(hkv, hd)
+    v = qkv[nq + nkv:nq + 2 * nkv].reshape(hkv, hd)
+    cos, sin = (np.asarray(a)[0] for a in refs.rope_cos_sin(
+        jnp.asarray([pos]), hd, cfg.rope_base))
+    rot = lambda t: np.concatenate(                      # noqa: E731
+        [t[..., :hd // 2] * cos - t[..., hd // 2:] * sin,
+         t[..., hd // 2:] * cos + t[..., :hd // 2] * sin], -1)
+    q, k = rot(q), rot(k)
+    ks = np.concatenate(
+        [np.asarray(cache_k)[0, :, :pos, :], k[:, None, :]], axis=1)
+    vs = np.concatenate(
+        [np.asarray(cache_v)[0, :, :pos, :], v[:, None, :]], axis=1)
+    nr = hq // hkv
+    att = np.zeros((hq, hd), np.float32)
+    for h in range(hq):
+        s = (ks[h // nr] @ q[h]) / np.sqrt(hd)
+        p = np.exp(s - s.max())
+        p /= p.sum()
+        att[h] = p @ vs[h // nr]
+    out = att.reshape(nq) @ dequant_packed(layer["wo"]).T
+    return np.asarray(x).reshape(d) + out, k, v
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+@pytest.mark.parametrize("hq,hkv,pos", [(8, 2, 37), (4, 4, 0), (8, 8, 100)])
+def test_attn_block_matches_oracle(kind, hq, hkv, pos):
+    hd = 32
+    cfg = LlamaConfig(vocab_size=128, d_model=hq * hd, n_heads=hq,
+                      n_kv_heads=hkv, d_ff=128, n_layers=1, max_seq_len=128)
+    layer = _mk(cfg, kind, seed=hq + pos)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 1, cfg.d_model)), jnp.float32)
+    cache_k = jnp.asarray(
+        rng.standard_normal((1, hkv, cfg.max_seq_len, hd)) * 0.5, jnp.bfloat16)
+    cache_v = jnp.asarray(
+        rng.standard_normal((1, hkv, cfg.max_seq_len, hd)) * 0.5, jnp.bfloat16)
+    assert attn_block_compatible(layer, cfg, cache_k)
+
+    cos, sin = refs.rope_cos_sin(jnp.asarray([pos]), hd, cfg.rope_base)
+    cos2 = jnp.concatenate([cos, cos], axis=1)           # [1, hd]
+    sin2 = jnp.concatenate([-sin, sin], axis=1)
+    x2, kc, vc = attn_block_step(cfg, layer, x, cache_k, cache_v,
+                                 pos, cos2, sin2)
+
+    want_x2, want_k, want_v = _oracle(
+        cfg, layer, x, cache_k.astype(jnp.float32),
+        cache_v.astype(jnp.float32), pos)
+    np.testing.assert_allclose(np.asarray(kc).reshape(hkv, hd), want_k,
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(vc).reshape(hkv, hd), want_v,
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(x2).reshape(-1), want_x2,
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_engine_fused_attn_block_matches_unfused(tmp_path, monkeypatch):
+    """End-to-end: engine decode with the fused attention block ==
+    the unfused path (same weights, greedy tokens)."""
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.runtime.engine import LlamaEngine
+    from zgml_tpu.utils.synthetic import write_synthetic_llama_gguf
+    cfg = LlamaConfig(vocab_size=96, d_model=256, n_heads=8, n_kv_heads=2,
+                      d_ff=192, n_layers=2, max_seq_len=96)
+    path = tmp_path / "m.gguf"
+    write_synthetic_llama_gguf(str(path), cfg, GGMLType.Q4_0, seed=7)
+    model, _ = load_llama(str(path), mode="quantized")
+    assert "qkv3" in model.params["layers"][0]
+
+    toks = [3, 1, 4, 1, 5]
+    eng = LlamaEngine(model, donate_cache=False)
+    lf = eng.prefill(toks)
+    t1, _ = eng.step(np.array([7]))
+    seq1 = [int(t1[0])]
+    for _ in range(5):
+        t1, _ = eng.step(t1)
+        seq1.append(int(t1[0]))
+
+    monkeypatch.setenv("ZGML_TPU_ATTN_BLOCK", "0")
+    eng2 = LlamaEngine(model, donate_cache=False)
+    lg = eng2.prefill(toks)
+    t2, _ = eng2.step(np.array([7]))
+    seq2 = [int(t2[0])]
+    for _ in range(5):
+        t2, _ = eng2.step(t2)
+        seq2.append(int(t2[0]))
+    assert seq1 == seq2, (seq1, seq2)
+    a, b = np.asarray(lf).ravel(), np.asarray(lg).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, cos

@@ -169,6 +169,13 @@ def load_llama(path: str, mode: str = "quantized",
         else:
             for key, suffix in _LAYER_MATMULS.items():
                 layer[key] = _load_matmul(gf, f"blk.{i}.{suffix}", mode, dtype)
+        if fuse and not stack_layers:
+            # head-major views for the fused decode attention-block kernel
+            from zgml_tpu.ops.layerkernel import attn_block_enabled
+            from zgml_tpu.quant.headmajor import attach_head_major
+            if attn_block_enabled():
+                attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads,
+                                  cfg.head_dim)
         per_layer.append(layer)
 
     if stack_layers:

@@ -27,6 +27,9 @@ _PW_AUX = ("kind", "n", "k", "n_pad", "k_pad")
 def _flatten_params(params, prefix="", out=None, meta=None):
     out = {} if out is None else out
     meta = {} if meta is None else meta
+    from zgml_tpu.quant.headmajor import HeadPacked
+    if isinstance(params, HeadPacked):
+        return out, meta                 # derived view; re-attached at load
     if isinstance(params, PackedWeight):
         out[prefix + ".qvals"] = np.asarray(params.qvals)
         out[prefix + ".scales"] = np.asarray(params.scales)
@@ -68,9 +71,11 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
     def build(prefix):
         if prefix in tree and isinstance(tree[prefix], dict):
             kind, n, k, n_pad, k_pad = tree[prefix]["packed"]
+            # keep numpy (mmap zero-copy): head-major views derive on host,
+            # and the caller's device_put uploads everything once
             return PackedWeight(kind, n, k, n_pad, k_pad,
-                                jnp.asarray(st.tensor(prefix + ".qvals")),
-                                jnp.asarray(st.tensor(prefix + ".scales")))
+                                st.tensor(prefix + ".qvals"),
+                                st.tensor(prefix + ".scales"))
         if (prefix + "#len") in tree:
             return [build(f"{prefix}#{i}")
                     for i in range(tree[prefix + "#len"])]
@@ -92,4 +97,12 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
         return {k: build(pre + k) for k in sorted(kids)}
 
     params = build("")
+    layers = params.get("layers")
+    if isinstance(layers, list):
+        from zgml_tpu.ops.layerkernel import attn_block_enabled
+        from zgml_tpu.quant.headmajor import attach_head_major
+        if attn_block_enabled():
+            for layer in layers:
+                attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads,
+                                  cfg.head_dim)
     return LlamaModel(cfg, params)

@@ -178,6 +178,56 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     hd = cfg.head_dim
     hq, hkv = cfg.n_heads // tp_size, cfg.n_kv_heads // tp_size
 
+    per_row_pos = getattr(pos, "ndim", 0) == 1
+    if (decode and b == 1 and t == 1 and tp_axis is None
+            and cache_row is None and write_pos is None and not per_row_pos
+            and "qkv3" in layer):
+        from zgml_tpu.ops.layerkernel import (attn_block_compatible,
+                                              attn_block_enabled,
+                                              attn_block_step)
+        if attn_block_enabled() and attn_block_compatible(layer, cfg,
+                                                          cache_k):
+            # fused attention block: norm+qkv+rope+attention+wo+residual in
+            # ONE kernel; the current token's K/V attend from registers (the
+            # cache write below happens logically in parallel)
+            from zgml_tpu.runtime.profile import global_profile
+            global_profile.count_op("attn_block", "pallas")
+            half = cos.shape[-1]
+            c2 = jnp.concatenate([cos, cos], -1).reshape(1, 2 * half)
+            s2 = jnp.concatenate([-sin, sin], -1).reshape(1, 2 * half)
+            x2, k_cur, v_cur = attn_block_step(
+                cfg, layer, x, cache_k, cache_v, pos, c2, s2)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_cur.astype(cache_k.dtype), (0, 0, pos, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_cur.astype(cache_v.dtype), (0, 0, pos, 0))
+            x = x2.astype(x.dtype)
+            if "w_gate_up" in layer:
+                # norm + FFN + residual fused into the one FFN launch
+                x_new = ops.fused_ffn_norm(x, layer["ffn_norm"],
+                                           layer["w_gate_up"],
+                                           layer["w_down"],
+                                           cfg.rms_norm_eps)
+                if x_new is not None:
+                    return x_new.astype(x.dtype), cache_k, cache_v
+            h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+            ff_out = None
+            if "w_gate_up" in layer:
+                ff_out = ops.fused_ffn(h, layer["w_gate_up"],
+                                       layer["w_down"])
+            if ff_out is None:
+                if "w_gate_up" in layer:
+                    gu = _project(h, layer["w_gate_up"])
+                    f = gu.shape[-1] // 2
+                    gate, up = gu[..., :f], gu[..., f:]
+                else:
+                    gate = _project(h, layer["w_gate"])
+                    up = _project(h, layer["w_up"])
+                ff = refs.swiglu_ref(gate, up)
+                ff_out = _project(ff, layer["w_down"])
+            x = x + ff_out.astype(x.dtype)
+            return x, cache_k, cache_v
+
     h = ops.rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps)
     if tp_axis is not None:
         h = _tp_copy(h, tp_axis)

@@ -95,6 +95,22 @@ def fused_ffn(x: jax.Array, gu: Any, wd: Any):
     return fused_ffn_pallas(x, gu, wd)
 
 
+def fused_ffn_norm(x: jax.Array, gamma: jax.Array, gu: Any, wd: Any,
+                   eps: float):
+    """rmsnorm + FFN + residual in one launch (decode fast path); None if
+    the layout is incompatible — caller then norms/projects separately."""
+    m = 1
+    for dim in x.shape[:-1]:
+        m *= dim
+    if m > 32:
+        return None
+    from zgml_tpu.ops.ffn import ffn_compatible, fused_ffn_norm_pallas
+    if not use_pallas("fused_ffn") or not ffn_compatible(gu, wd):
+        return None
+    _count("fused_ffn_norm", "pallas")
+    return fused_ffn_norm_pallas(x, gamma, gu, wd, eps)
+
+
 # -- normalization / rope / attention ----------------------------------------
 
 def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:

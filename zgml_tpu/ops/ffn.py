@@ -33,20 +33,29 @@ def _interpret() -> bool:
     return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
 
 
-def _ffn_kernel(x_ref, gq_ref, gs_ref, uq_ref, us_ref, dq_ref, ds_ref,
-                o_ref, acc_ref, *, nf: int, ck: int, cd: int, out_dtype):
+def _ffn_kernel(x_ref, g_ref, gq_ref, gs_ref, uq_ref, us_ref, dq_ref, ds_ref,
+                o_ref, acc_ref, xn_scr, *, nf: int, ck: int, cd: int,
+                out_dtype, norm_eps, d_logical: int, residual: bool):
     ff = pl.program_id(1)
 
     @pl.when(ff == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if norm_eps is not None:
+            # fused rmsnorm prologue (one less launch + roundtrip per layer)
+            xr = x_ref[:]
+            ms = jnp.sum(xr * xr, axis=1, keepdims=True) * (1.0 / d_logical)
+            xn_scr[:] = xr * jax.lax.rsqrt(ms + norm_eps) * g_ref[:]
+        else:
+            xn_scr[:] = x_ref[:]
 
-    m, dp = x_ref.shape
+    xn = xn_scr
+    m, dp = xn.shape
     bf = gq_ref.shape[1]
     accg = jnp.zeros((m, bf), jnp.float32)
     accu = jnp.zeros((m, bf), jnp.float32)
     for c in range(dp // ck):           # K-chunked gate/up dots (unrolled)
-        xs = x_ref[:, c * ck:(c + 1) * ck]
+        xs = xn[:, c * ck:(c + 1) * ck]
         sg = jnp.repeat(gs_ref[c * ck // QK:(c + 1) * ck // QK, :], QK, axis=0)
         wg = gq_ref[c * ck:(c + 1) * ck, :].astype(jnp.float32) * sg
         accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
@@ -64,14 +73,19 @@ def _ffn_kernel(x_ref, gq_ref, gs_ref, uq_ref, us_ref, dq_ref, ds_ref,
 
     @pl.when(ff == nf - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        out = acc_ref[:]
+        if residual:
+            out = out + x_ref[:]            # raw (pre-norm) x
+        o_ref[:] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype"))
-def _ffn(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
-         out_dtype):
-    """x [M, Dp]; gu_q int8 [Dp, 2*Fp]; d_q int8 [Fp, Dp]."""
+                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype",
+                                    "norm_eps", "d_logical", "residual"))
+def _ffn(x, g, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
+         out_dtype, norm_eps=None, d_logical: int = 1,
+         residual: bool = False):
+    """x [M, Dp]; g [1, Dp]; gu_q int8 [Dp, 2*Fp]; d_q int8 [Fp, Dp]."""
     m, dp = x.shape
     fp = d_q.shape[0]
     nf = fp // bf
@@ -79,11 +93,14 @@ def _ffn(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
 
     return pl.pallas_call(
         functools.partial(_ffn_kernel, nf=nf, ck=ck, cd=cd,
-                          out_dtype=out_dtype),
+                          out_dtype=out_dtype, norm_eps=norm_eps,
+                          d_logical=d_logical, residual=residual),
         grid=(m // bm, nf),
         in_specs=[
             pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp), lambda mb, ff: (0, 0),
+                         memory_space=pltpu.VMEM),       # norm gamma
             pl.BlockSpec((dp, bf), lambda mb, ff: (0, ff),
                          memory_space=pltpu.VMEM),       # gate qvals
             pl.BlockSpec((dp // QK, bf), lambda mb, ff: (0, ff),
@@ -100,9 +117,10 @@ def _ffn(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
         out_specs=pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, dp), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32),
+                        pltpu.VMEM((bm, dp), jnp.float32)],
         interpret=_interpret(),
-    )(x, gu_q, gu_s, gu_q, gu_s, d_q, d_s)
+    )(x, g, gu_q, gu_s, gu_q, gu_s, d_q, d_s)
 
 
 # -- Q4_0 megakernel ----------------------------------------------------------
@@ -115,17 +133,25 @@ def _ffn(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
 # gate-lo/gate-hi/up-lo/up-hi), applies SwiGLU to each, and feeds the two act
 # halves to the down tile's lo/hi nibbles. Grid: (M-tiles, (Fp/2)//bf).
 
-def _ffn_q4_kernel(x_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
+def _ffn_q4_kernel(x_ref, g_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
                    gslo_ref, gshi_ref, uslo_ref, ushi_ref,
-                   dq_ref, dslo_ref, dshi_ref, o_ref, acc_ref,
-                   *, nf: int, ck: int, cd: int, out_dtype):
+                   dq_ref, dslo_ref, dshi_ref, o_ref, acc_ref, xn_scr,
+                   *, nf: int, ck: int, cd: int, out_dtype,
+                   norm_eps, d_logical: int, residual: bool):
     ff = pl.program_id(1)
 
     @pl.when(ff == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if norm_eps is not None:
+            xr = x_ref[:]
+            ms = jnp.sum(xr * xr, axis=1, keepdims=True) * (1.0 / d_logical)
+            xn_scr[:] = xr * jax.lax.rsqrt(ms + norm_eps) * g_ref[:]
+        else:
+            xn_scr[:] = x_ref[:]
 
-    m, dp = x_ref.shape
+    xn = xn_scr
+    m, dp = xn.shape
     kh = dp // 2                     # packed K rows of gate/up
     bf = glo_ref.shape[1]
 
@@ -133,8 +159,8 @@ def _ffn_q4_kernel(x_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
         acc = jnp.zeros((m, bf), jnp.float32)
         nsb = ck // QK
         for c in range(kh // ck):
-            xlo = x_ref[:, c * ck:(c + 1) * ck]
-            xhi = x_ref[:, kh + c * ck: kh + (c + 1) * ck]
+            xlo = xn[:, c * ck:(c + 1) * ck]
+            xhi = xn[:, kh + c * ck: kh + (c + 1) * ck]
             v = w_ref[c * ck:(c + 1) * ck, :].astype(jnp.int32)
             sl = jnp.repeat(s_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
             sh = jnp.repeat(
@@ -165,13 +191,18 @@ def _ffn_q4_kernel(x_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
 
     @pl.when(ff == nf - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        out = acc_ref[:]
+        if residual:
+            out = out + x_ref[:]            # raw (pre-norm) x
+        o_ref[:] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype"))
-def _ffn_q4(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
-            out_dtype):
+                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype",
+                                    "norm_eps", "d_logical", "residual"))
+def _ffn_q4(x, g, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
+            out_dtype, norm_eps=None, d_logical: int = 1,
+            residual: bool = False):
     """x [M, Dp]; gu_q int8 [Dp/2, 2*Fp] (K-half-split packed); d_q int8
     [Fp/2, Dp] (F-half-split packed)."""
     m, dp = x.shape
@@ -183,11 +214,14 @@ def _ffn_q4(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
     gcol = lambda off: (lambda mb, ff, o=off: (0, ff + o))       # noqa: E731
     return pl.pallas_call(
         functools.partial(_ffn_q4_kernel, nf=nf, ck=ck, cd=cd,
-                          out_dtype=out_dtype),
+                          out_dtype=out_dtype, norm_eps=norm_eps,
+                          d_logical=d_logical, residual=residual),
         grid=(m // bm, nf),
         in_specs=[
             pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
                          memory_space=pltpu.VMEM),                # x
+            pl.BlockSpec((1, dp), lambda mb, ff: (0, 0),
+                         memory_space=pltpu.VMEM),                # gamma
             pl.BlockSpec((kh, bf), gcol(0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kh, bf), gcol(nfh), memory_space=pltpu.VMEM),
             pl.BlockSpec((kh, bf), gcol(2 * nfh), memory_space=pltpu.VMEM),
@@ -208,9 +242,10 @@ def _ffn_q4(x, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
         out_specs=pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, dp), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32),
+                        pltpu.VMEM((bm, dp), jnp.float32)],
         interpret=_interpret(),
-    )(x, gu_q, gu_q, gu_q, gu_q, gu_s, gu_s, gu_s, gu_s, d_q, d_s, d_s)
+    )(x, g, gu_q, gu_q, gu_q, gu_q, gu_s, gu_s, gu_s, gu_s, d_q, d_s, d_s)
 
 
 def ffn_compatible(gu: PackedWeight, wd: PackedWeight) -> bool:
@@ -242,6 +277,16 @@ def fused_ffn_pallas(x: jax.Array, gu: PackedWeight, wd: PackedWeight,
     wd_aux = (wd.kind, wd.n, wd.k, wd.n_pad, wd.k_pad)
     return _ffn_diff((gu_aux, wd_aux, _np.dtype(out_dtype).name),
                      x, gu.qvals, gu.scales, wd.qvals, wd.scales)
+
+
+def fused_ffn_norm_pallas(x: jax.Array, gamma: jax.Array, gu: PackedWeight,
+                          wd: PackedWeight, eps: float,
+                          out_dtype=jnp.float32) -> jax.Array:
+    """x + down(silu(gate(n)) * up(n)) with n = rmsnorm(x)*gamma — norm
+    prologue and residual fused into the one FFN launch (decode fast path;
+    inference-only, no VJP)."""
+    return _ffn_impl(x, gu, wd, jnp.dtype(out_dtype),
+                     norm_gamma=gamma, eps=eps, residual=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -289,7 +334,9 @@ def _chunk(total: int, limit: int = 1024, mult: int = 256) -> int:
     return total
 
 
-def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
+def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype,
+              norm_gamma=None, eps: float | None = None,
+              residual: bool = False) -> jax.Array:
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k).astype(jnp.float32)
@@ -297,6 +344,13 @@ def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
     m_pad = max(8, (m + 7) // 8 * 8)
     if k < gu.k_pad or m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, gu.k_pad - k)))
+    if norm_gamma is not None:
+        g = jnp.pad(norm_gamma.reshape(1, -1).astype(jnp.float32),
+                    ((0, 0), (0, gu.k_pad - k)))
+        norm_kw = dict(norm_eps=eps, d_logical=gu.k, residual=residual)
+    else:
+        g = jnp.zeros((1, gu.k_pad), jnp.float32)
+        norm_kw = dict(norm_eps=None, d_logical=gu.k, residual=residual)
     bm = m_pad if m_pad <= 256 else 256
     while m_pad % bm:
         bm //= 2
@@ -309,8 +363,9 @@ def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
             bf //= 2
         ck = _chunk(gu.k_pad // 2, 512)
         cd = _chunk(gu.k_pad, 1024)
-        out = _ffn_q4(x2, gu.qvals, gu.scales, wd.qvals, wd.scales,
-                      bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype)
+        out = _ffn_q4(x2, g, gu.qvals, gu.scales, wd.qvals, wd.scales,
+                      bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype,
+                      **norm_kw)
         return out[:m, : wd.n].reshape(*lead, wd.n)
     fp = wd.k_pad
     bf = 512 if gu.k_pad <= 2048 else 256
@@ -320,6 +375,6 @@ def _ffn_impl(x, gu: PackedWeight, wd: PackedWeight, out_dtype) -> jax.Array:
     # (small models; keeps scale slices sublane-aligned either way)
     ck = _chunk(gu.k_pad, 1024)
     cd = ck
-    out = _ffn(x2, gu.qvals, gu.scales, wd.qvals, wd.scales,
-               bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype)
+    out = _ffn(x2, g, gu.qvals, gu.scales, wd.qvals, wd.scales,
+               bm=bm, bf=bf, ck=ck, cd=cd, out_dtype=out_dtype, **norm_kw)
     return out[:m, : wd.n].reshape(*lead, wd.n)

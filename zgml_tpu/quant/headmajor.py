@@ -1,0 +1,141 @@
+"""Head-major weight views for the fused attention-block kernel.
+
+The attention-block megakernel (zgml_tpu/ops/layerkernel.py) needs Q/K/V
+projection outputs in head-major form ([heads, m, hd]) because Mosaic cannot
+re-layout a flat [1, H*hd] matmul output into [H, hd] in-kernel (lane ->
+sublane unfold is not legalizable; verified on hardware). The fix is to do the
+projection as an MXU *batched* dot with the weight pre-arranged head-major:
+
+  qkv3: qvals int8 [Htot, KQ, hd]  (Htot = Hq + 2*Hkv; KQ = Kp or Kp/2 for
+        q4_0's K-half-split, which is per-COLUMN and therefore survives the
+        per-head column slicing unchanged)
+        scales f32 [Htot, Kp/32, hd]
+
+  wo3:  the output projection contracts per-head hd, so Q4_0's GLOBAL K-half
+        split would mix heads inside one packed byte. wo is therefore
+        re-packed with the nibble pair along the OUTPUT axis instead
+        (byte[k, j] = w[k, j] | w[k, j + Dp/2] << 4): the kernel feeds att
+        once and writes two output column groups — no sub-128 lane slicing.
+        qvals int8 [Hq, hd, Dp/2] (q4) or [Hq, hd, Dp] (q8)
+        scales f32 [Hq, hd/32, Dp]
+
+These are derived on the host at load time from the planar PackedWeights
+(exact nibble/scale shuffles, no requantization).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from zgml_tpu.quant.blocks import QK
+from zgml_tpu.quant.repack import PackedWeight
+
+
+@dataclasses.dataclass
+class HeadPacked:
+    """Head-major quantized weight for batched-by-head kernels."""
+    kind: str          # 'q4_0' | 'q8_0'
+    heads: int
+    hd: int            # per-head feature dim
+    k: int             # logical contraction dim (d for qkv; hd for wo)
+    n: int             # logical out cols per head (hd for qkv; d for wo)
+    qvals: Any
+    scales: Any
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.qvals.nbytes + self.scales.nbytes)
+
+
+def _pw_flatten(hp: HeadPacked):
+    return ((hp.qvals, hp.scales),
+            (hp.kind, hp.heads, hp.hd, hp.k, hp.n))
+
+
+def _pw_unflatten(aux, children):
+    kind, heads, hd, k, n = aux
+    qvals, scales = children
+    return HeadPacked(kind, heads, hd, k, n, qvals, scales)
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(HeadPacked, _pw_flatten, _pw_unflatten)
+
+
+def head_major_qkv(wqkv: PackedWeight, hq: int, hkv: int,
+                   hd: int) -> HeadPacked:
+    """Planar fused wqkv [Kp(/2), nq+2nkv(+pad)] -> [Htot, KQ, hd] head-major.
+
+    Column order of the planar fusion is q heads, then k heads, then v heads
+    (concat_packed keeps input order); the K-axis packing/scales are
+    per-column and survive slicing.
+    """
+    htot = hq + 2 * hkv
+    ncols = htot * hd
+    q = np.asarray(wqkv.qvals)[:, :ncols]          # [KQ, Htot*hd]
+    s = np.asarray(wqkv.scales)[:, :ncols]         # [Kp/32, Htot*hd]
+    kq = q.shape[0]
+    q3 = np.ascontiguousarray(
+        q.reshape(kq, htot, hd).transpose(1, 0, 2))
+    s3 = np.ascontiguousarray(
+        s.reshape(s.shape[0], htot, hd).transpose(1, 0, 2))
+    return HeadPacked(wqkv.kind, htot, hd, wqkv.k, hd, q3, s3)
+
+
+def head_major_wo(wo: PackedWeight, hq: int, hd: int) -> HeadPacked:
+    """Planar wo [Kp(/2), Dp] -> head-major [Hq, hd(/2 packed cols), Dp(/2)].
+
+    q8_0: pure row regrouping. q4_0: unpack the global K-half-split, regroup
+    rows per head, re-pack the nibble pair along the OUTPUT axis
+    (byte[k, j] = w[k, j] | w[k, j + Dp/2] << 4). Scales rows are already in
+    natural k-block order (lo rows then hi rows == blocks 0..Kp/32).
+    """
+    nq = hq * hd
+    dp = np.asarray(wo.qvals).shape[1]
+    if wo.kind == "q8_0":
+        q = np.asarray(wo.qvals)[:nq]               # [nq, Dp]
+        q3 = np.ascontiguousarray(q.reshape(hq, hd, dp))
+        s = np.asarray(wo.scales)[: nq // QK]
+        s3 = np.ascontiguousarray(s.reshape(hq, hd // QK, dp))
+        return HeadPacked("q8_0", hq, hd, hd, wo.n, q3, s3)
+    if wo.kind != "q4_0":
+        raise ValueError(wo.kind)
+    if dp % 2:
+        raise ValueError("q4_0 wo head-major needs even padded D")
+    kh = np.asarray(wo.qvals).shape[0]              # Kp/2 packed rows
+    b = np.asarray(wo.qvals).view(np.uint8)
+    lo = (b & 0x0F)                                  # rows k in [0, kh)
+    hi = (b >> 4) & 0x0F                             # rows k in [kh, 2kh)
+    full = np.concatenate([lo, hi], axis=0)[:nq]     # nibbles [nq, Dp], 0..15
+    full3 = full.reshape(hq, hd, dp)
+    # re-pack along the output axis: byte[k, j] = w[k, j] | w[k, j+Dp/2]<<4
+    packed = (full3[:, :, : dp // 2]
+              | (full3[:, :, dp // 2:] << 4)).astype(np.uint8)
+    s = np.asarray(wo.scales)[: nq // QK]            # natural k-block order
+    s3 = np.ascontiguousarray(s.reshape(hq, hd // QK, dp))
+    return HeadPacked("q4_0", hq, hd, hd, wo.n,
+                      np.ascontiguousarray(packed).view(np.int8), s3)
+
+
+def attach_head_major(layer: dict, hq: int, hkv: int, hd: int) -> bool:
+    """Derive and attach head-major views for one layer dict (in place).
+
+    Returns False (no-op) when the layer is incompatible with the fused
+    attention-block kernel (unfused or dense weights, padded K rows that
+    would mix heads, tiny head dims).
+    """
+    wqkv, wo = layer.get("wqkv"), layer.get("wo")
+    if not (isinstance(wqkv, PackedWeight) and isinstance(wo, PackedWeight)):
+        return False
+    if hd % QK or hd < QK:
+        return False
+    if wo.k != hq * hd:              # logical K must be exactly the q heads
+        return False
+    if wqkv.n_pad < (hq + 2 * hkv) * hd or wqkv.kind != wo.kind:
+        return False
+    layer["qkv3"] = head_major_qkv(wqkv, hq, hkv, hd)
+    layer["wo3"] = head_major_wo(wo, hq, hd)
+    return True

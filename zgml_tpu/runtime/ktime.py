@@ -159,7 +159,10 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     layers = model.params["layers"]
     layer0 = (layers[0] if isinstance(layers, (list, tuple))
               else {n: _layer0(leaf) for n, leaf in layers.items()})
-    proj_names = [n for n in layer0 if n not in ("attn_norm", "ffn_norm")]
+    from zgml_tpu.quant.headmajor import HeadPacked
+    proj_names = [n for n in layer0
+                  if n not in ("attn_norm", "ffn_norm")
+                  and not isinstance(layer0[n], HeadPacked)]
     for name in proj_names:
         w = layer0[name]
         if isinstance(w, PackedWeight):
