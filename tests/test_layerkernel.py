@@ -134,3 +134,32 @@ def test_engine_fused_attn_block_matches_unfused(tmp_path, monkeypatch):
     a, b = np.asarray(lf).ravel(), np.asarray(lg).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.999, cos
+
+
+def test_ffn_q4n_matches_oracle():
+    from zgml_tpu.ops.ffn import fused_ffn_norm_q4n
+    from zgml_tpu.quant.headmajor import ffn_npack
+    rng = np.random.default_rng(4)
+    d, F = 512, 1024
+    gate = quantize_weight(
+        rng.standard_normal((F, d)).astype(np.float32) * 0.05, "q4_0",
+        n_align=1)
+    up = quantize_weight(
+        rng.standard_normal((F, d)).astype(np.float32) * 0.05, "q4_0",
+        n_align=1)
+    wd = quantize_weight(
+        rng.standard_normal((d, F)).astype(np.float32) * 0.05, "q4_0")
+    gu = concat_packed([gate, up], part_pad=wd.k_pad)
+    pack = ffn_npack(gu, wd)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 1, d)), jnp.float32)
+    got = np.asarray(fused_ffn_norm_q4n(x, g, pack, d, 1e-5)).reshape(d)
+
+    xn = np.asarray(x).reshape(d)
+    xn_n = xn / np.sqrt((xn * xn).mean() + 1e-5) * np.asarray(g)
+    gt = xn_n @ dequant_packed(gate).T
+    ut = xn_n @ dequant_packed(up).T
+    act = ut * (gt / (1 + np.exp(-gt)))
+    want = xn + act @ dequant_packed(wd).T
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-2, rel

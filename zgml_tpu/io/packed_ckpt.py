@@ -27,8 +27,9 @@ _PW_AUX = ("kind", "n", "k", "n_pad", "k_pad")
 def _flatten_params(params, prefix="", out=None, meta=None):
     out = {} if out is None else out
     meta = {} if meta is None else meta
-    from zgml_tpu.quant.headmajor import HeadPacked
-    if isinstance(params, HeadPacked):
+    from zgml_tpu.quant.headmajor import DERIVED_KEYS, HeadPacked
+    if isinstance(params, HeadPacked) or \
+            prefix.split(".")[-1] in DERIVED_KEYS:
         return out, meta                 # derived view; re-attached at load
     if isinstance(params, PackedWeight):
         out[prefix + ".qvals"] = np.asarray(params.qvals)

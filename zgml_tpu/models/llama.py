@@ -185,8 +185,8 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
         from zgml_tpu.ops.layerkernel import (attn_block_compatible,
                                               attn_block_enabled,
                                               attn_block_step)
-        if attn_block_enabled() and attn_block_compatible(layer, cfg,
-                                                          cache_k):
+        if (attn_block_enabled() and ops.use_pallas("attn_block")
+                and attn_block_compatible(layer, cfg, cache_k)):
             # fused attention block: norm+qkv+rope+attention+wo+residual in
             # ONE kernel; the current token's K/V attend from registers (the
             # cache write below happens logically in parallel)
@@ -202,6 +202,13 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v_cur.astype(cache_v.dtype), (0, 0, pos, 0))
             x = x2.astype(x.dtype)
+            if "ffn_q4n" in layer:
+                # N-packed Q4 FFN: wide DMA runs + fused norm/residual
+                x_new = ops.fused_ffn_norm_q4n(x, layer["ffn_norm"],
+                                               layer["ffn_q4n"], d,
+                                               cfg.rms_norm_eps)
+                if x_new is not None:
+                    return x_new.astype(x.dtype), cache_k, cache_v
             if "w_gate_up" in layer:
                 # norm + FFN + residual fused into the one FFN launch
                 x_new = ops.fused_ffn_norm(x, layer["ffn_norm"],

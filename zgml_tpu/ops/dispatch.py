@@ -95,6 +95,19 @@ def fused_ffn(x: jax.Array, gu: Any, wd: Any):
     return fused_ffn_pallas(x, gu, wd)
 
 
+def fused_ffn_norm_q4n(x: jax.Array, gamma: jax.Array, pack: dict,
+                       d_logical: int, eps: float):
+    """N-packed Q4 FFN megakernel (wide DMA runs); None when gated off."""
+    m = 1
+    for dim in x.shape[:-1]:
+        m *= dim
+    if m > 32 or not use_pallas("fused_ffn"):
+        return None
+    from zgml_tpu.ops.ffn import fused_ffn_norm_q4n as impl
+    _count("fused_ffn_norm", "pallas")
+    return impl(x, gamma, pack, d_logical, eps)
+
+
 def fused_ffn_norm(x: jax.Array, gamma: jax.Array, gu: Any, wd: Any,
                    eps: float):
     """rmsnorm + FFN + residual in one launch (decode fast path); None if

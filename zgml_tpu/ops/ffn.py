@@ -248,6 +248,143 @@ def _ffn_q4(x, g, gu_q, gu_s, d_q, d_s, *, bm: int, bf: int, ck: int, cd: int,
     )(x, g, gu_q, gu_q, gu_q, gu_q, gu_s, gu_s, gu_s, gu_s, d_q, d_s, d_s)
 
 
+# -- Q4_0 N-packed megakernel (decode) ----------------------------------------
+#
+# The planar K-half-split q4 kernel streams 4 narrow gate/up column tiles per
+# F step (bf-byte HBM runs; ~550 GB/s at 7B). The N-packed layout
+# (quant/headmajor.ffn_npack) pairs nibbles so one [Dp, bf] tile carries BOTH
+# gate and up (runs = bf bytes but half as many tiles, double bf in the same
+# VMEM), and down pairs along the OUTPUT axis ([Fp, Dp/2]: full-width
+# contiguous rows, act feeds once, two output column groups).
+
+def _ffn_q4n_kernel(x_ref, g_ref, gu_ref, gs_ref, us_ref, dn_ref, ds_ref,
+                    o_ref, acc_ref, xn_scr, *, nf: int, ck: int, cd: int,
+                    out_dtype, norm_eps, d_logical: int, residual: bool):
+    ff = pl.program_id(1)
+
+    @pl.when(ff == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if norm_eps is not None:
+            xr = x_ref[:]
+            ms = jnp.sum(xr * xr, axis=1, keepdims=True) * (1.0 / d_logical)
+            xn_scr[:] = xr * jax.lax.rsqrt(ms + norm_eps) * g_ref[:]
+        else:
+            xn_scr[:] = x_ref[:]
+
+    xn = xn_scr
+    m, dp = xn.shape
+    hw = dp // 2
+    bf = gu_ref.shape[1]
+    nsb = ck // QK
+    accg = jnp.zeros((m, bf), jnp.float32)
+    accu = jnp.zeros((m, bf), jnp.float32)
+    for c in range(dp // ck):
+        v = gu_ref[c * ck:(c + 1) * ck, :].astype(jnp.int32)
+        xs = xn[:, c * ck:(c + 1) * ck]
+        sg = jnp.repeat(gs_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+        su = jnp.repeat(us_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+        wg = ((v & 15) - 8).astype(jnp.float32) * sg
+        wu = (((v >> 4) & 15) - 8).astype(jnp.float32) * su
+        accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
+        accu += jnp.dot(xs, wu, preferred_element_type=jnp.float32)
+    act = accu * (accg * jax.nn.sigmoid(accg))
+
+    for c in range(hw // cd):
+        dv = dn_ref[:, c * cd:(c + 1) * cd].astype(jnp.int32)
+        sl = jnp.repeat(ds_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        sh = jnp.repeat(ds_ref[:, hw + c * cd: hw + (c + 1) * cd], QK, axis=0)
+        wl = ((dv & 15) - 8).astype(jnp.float32) * sl
+        wh = (((dv >> 4) & 15) - 8).astype(jnp.float32) * sh
+        acc_ref[:, c * cd:(c + 1) * cd] += jnp.dot(
+            act, wl, preferred_element_type=jnp.float32)
+        acc_ref[:, hw + c * cd: hw + (c + 1) * cd] += jnp.dot(
+            act, wh, preferred_element_type=jnp.float32)
+
+    @pl.when(ff == nf - 1)
+    def _():
+        out = acc_ref[:]
+        if residual:
+            out = out + x_ref[:]
+        o_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype",
+                                    "norm_eps", "d_logical", "residual"))
+def _ffn_q4n(x, g, gu_q, gs, us, dn_q, ds, *, bm: int, bf: int, ck: int,
+             cd: int, out_dtype, norm_eps=None, d_logical: int = 1,
+             residual: bool = False):
+    """x [M, Dp]; gu_q int8 [Dp, Fp] (gate|up nibble pair); dn_q int8
+    [Fp, Dp/2] (output-pair); gs/us [Dp/32, Fp]; ds [Fp/32, Dp]."""
+    m, dp = x.shape
+    fp = dn_q.shape[0]
+    nf = fp // bf
+    return pl.pallas_call(
+        functools.partial(_ffn_q4n_kernel, nf=nf, ck=ck, cd=cd,
+                          out_dtype=out_dtype, norm_eps=norm_eps,
+                          d_logical=d_logical, residual=residual),
+        grid=(m // bm, nf),
+        in_specs=[
+            pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp), lambda mb, ff: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),       # gate|up bytes
+            pl.BlockSpec((dp // QK, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),       # gate scales
+            pl.BlockSpec((dp // QK, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),       # up scales
+            pl.BlockSpec((bf, dp // 2), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),       # down bytes
+            pl.BlockSpec((bf // QK, dp), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),       # down scales
+        ],
+        out_specs=pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, dp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32),
+                        pltpu.VMEM((bm, dp), jnp.float32)],
+        interpret=_interpret(),
+    )(x, g, gu_q, gs, us, dn_q, ds)
+
+
+def fused_ffn_norm_q4n(x: jax.Array, gamma: jax.Array, pack: dict,
+                       d_logical: int, eps: float,
+                       out_dtype=jnp.float32) -> jax.Array:
+    """N-packed Q4 FFN with fused rmsnorm prologue + residual (decode)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    dp = pack["gu_q"].shape[0]
+    fp = pack["dn_q"].shape[0]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    m_pad = max(8, (m + 7) // 8 * 8)
+    if k < dp or m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, dp - k)))
+    g = jnp.pad(gamma.reshape(1, -1).astype(jnp.float32),
+                ((0, 0), (0, dp - k)))
+    bm = m_pad if m_pad <= 256 else 256
+    # widest F tile whose double-buffered blocks fit ~10 MB
+    bf = 128
+    for cand in range(min(2048, fp) // 128 * 128, 127, -128):
+        if fp % cand:
+            continue
+        cost = 2 * (dp * cand + cand * (dp // 2)
+                    + 2 * (dp // QK) * cand * 4 + (cand // QK) * dp * 4)
+        if cost <= 10 << 20 and (cand // QK) % 8 == 0:
+            bf = cand
+            break
+    ck = _chunk(dp, 1024)
+    cd = _chunk(dp // 2, 1024)
+    out = _ffn_q4n(x2, g, pack["gu_q"], pack["gs"], pack["us"],
+                   pack["dn_q"], pack["ds"], bm=bm, bf=bf, ck=ck, cd=cd,
+                   out_dtype=jnp.dtype(out_dtype), norm_eps=eps,
+                   d_logical=d_logical, residual=True)
+    return out[:m, :d_logical].reshape(*lead, d_logical)
+
+
 def ffn_compatible(gu: PackedWeight, wd: PackedWeight) -> bool:
     """Layout contract check (see module docstring)."""
     if not (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)

@@ -33,6 +33,11 @@ from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.repack import PackedWeight
 
 
+# layer-dict keys holding load-time-derived weight views (never serialized;
+# excluded from weight-byte censuses since they duplicate the planar set)
+DERIVED_KEYS = ("qkv3", "wo3", "ffn_q4n")
+
+
 @dataclasses.dataclass
 class HeadPacked:
     """Head-major quantized weight for batched-by-head kernels."""
@@ -120,6 +125,46 @@ def head_major_wo(wo: PackedWeight, hq: int, hd: int) -> HeadPacked:
                       np.ascontiguousarray(packed).view(np.int8), s3)
 
 
+def _unpack_q4_rows(pw: PackedWeight) -> np.ndarray:
+    """Planar q4 qvals [Kp/2, N] -> raw nibbles [Kp, N] (0..15), k order."""
+    b = np.asarray(pw.qvals).view(np.uint8)
+    return np.concatenate([b & 0x0F, (b >> 4) & 0x0F], axis=0)
+
+
+def ffn_npack(gu: PackedWeight, wd: PackedWeight) -> dict:
+    """Q4_0 FFN weights re-paired for wide DMA runs (decode FFN megakernel).
+
+    The planar K-half-split gives the FFN kernel 4 narrow column tiles per
+    F step (256-byte HBM runs, measured ~550 GB/s at 7B vs ~630 ceiling).
+    Re-pairings that keep the unpack branch-free but double the run length:
+
+      gate_up: byte (k, f) = gate[k, f] | up[k, f] << 4
+               -> gu_q [Dp, Fp] (one byte covers BOTH gate and up)
+      down:    byte (f, j) = w[f, j] | w[f, j + Dp/2] << 4   (OUTPUT-axis
+               pair) -> dn_q [Fp, Dp/2]; act feeds once, two output column
+               groups per step
+
+    Scales keep the planar row order (natural k-block order).
+    """
+    assert gu.kind == "q4_0" and wd.kind == "q4_0"
+    fp = wd.k_pad
+    dp = gu.k_pad
+    g_full = _unpack_q4_rows(gu)                  # [Dp, 2Fp] nibbles
+    gate_n, up_n = g_full[:, :fp], g_full[:, fp:2 * fp]
+    gu_q = (gate_n | (up_n << 4)).astype(np.uint8)
+    gs = np.asarray(gu.scales)[:, :fp]            # [Dp/32, Fp]
+    us = np.asarray(gu.scales)[:, fp:2 * fp]
+    d_full = _unpack_q4_rows(wd)[:fp]             # [Fp, Dp] nibbles
+    dn_q = (d_full[:, : dp // 2]
+            | (d_full[:, dp // 2:] << 4)).astype(np.uint8)
+    ds = np.asarray(wd.scales)[: fp // 32]        # [Fp/32, Dp]
+    return {"gu_q": np.ascontiguousarray(gu_q).view(np.int8),
+            "gs": np.ascontiguousarray(gs),
+            "us": np.ascontiguousarray(us),
+            "dn_q": np.ascontiguousarray(dn_q).view(np.int8),
+            "ds": np.ascontiguousarray(ds)}
+
+
 def attach_head_major(layer: dict, hq: int, hkv: int, hd: int) -> bool:
     """Derive and attach head-major views for one layer dict (in place).
 
@@ -138,4 +183,11 @@ def attach_head_major(layer: dict, hq: int, hkv: int, hd: int) -> bool:
         return False
     layer["qkv3"] = head_major_qkv(wqkv, hq, hkv, hd)
     layer["wo3"] = head_major_wo(wo, hq, hd)
+    gu, wd = layer.get("w_gate_up"), layer.get("w_down")
+    if (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)
+            and gu.kind == "q4_0" and wd.kind == "q4_0"
+            and gu.n_pad == 2 * wd.k_pad and wd.n_pad == gu.k_pad
+            and gu.k_pad % 256 == 0 and wd.k_pad % 256 == 0
+            and (gu.k_pad // 2) % 128 == 0):
+        layer["ffn_q4n"] = ffn_npack(gu, wd)
     return True

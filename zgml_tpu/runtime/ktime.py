@@ -159,10 +159,9 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     layers = model.params["layers"]
     layer0 = (layers[0] if isinstance(layers, (list, tuple))
               else {n: _layer0(leaf) for n, leaf in layers.items()})
-    from zgml_tpu.quant.headmajor import HeadPacked
+    from zgml_tpu.quant.headmajor import DERIVED_KEYS
     proj_names = [n for n in layer0
-                  if n not in ("attn_norm", "ffn_norm")
-                  and not isinstance(layer0[n], HeadPacked)]
+                  if n not in ("attn_norm", "ffn_norm") + tuple(DERIVED_KEYS)]
     for name in proj_names:
         w = layer0[name]
         if isinstance(w, PackedWeight):
@@ -186,6 +185,47 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
                    q, kc, vc, lens, reps=reps)
     kv_bytes = 2 * batch * hkv * kv_len * hd * 2     # live K+V, bf16
     add("decode_attention", f"[kv={kv_len}/{s}]", dt, L, kv_bytes)
+
+    # -- fused decode-path kernels (when attached) ---------------------------
+    if batch == 1 and "qkv3" in layer0:
+        from zgml_tpu.ops import refs as _refs
+        from zgml_tpu.ops.layerkernel import attn_block_step
+        cos, sin = _refs.rope_cos_sin(jnp.asarray([kv_len]), hd,
+                                      cfg.rope_base)
+        cos2 = jnp.concatenate([cos, cos], axis=1)
+        sin2 = jnp.concatenate([-sin, sin], axis=1)
+        x1 = jnp.asarray(rng.standard_normal((1, 1, cfg.d_model)),
+                         jnp.float32)
+
+        def f_ab(x, layer, ck1, cv1, c2, s2):
+            x2, _, _ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len,
+                                       c2, s2)
+            return x2
+
+        dt = time_call(f_ab, x1, layer0, kc, vc, cos2, sin2, reps=reps)
+        ab_bytes = (layer0["qkv3"].nbytes + layer0["wo3"].nbytes + kv_bytes)
+        add("attn_block(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
+
+        gu, wd = layer0.get("w_gate_up"), layer0.get("w_down")
+        if "ffn_q4n" in layer0:
+            pack = layer0["ffn_q4n"]
+
+            def f_ffn(x, g, pack):
+                out = ops.fused_ffn_norm_q4n(x, g, pack, cfg.d_model,
+                                             cfg.rms_norm_eps)
+                return out if out is not None else x
+
+            dt = time_call(f_ffn, x1, layer0["ffn_norm"], pack, reps=reps)
+            add("ffn_q4n(fused)", "", dt, L,
+                sum(v.nbytes for v in pack.values()))
+        elif gu is not None:
+            def f_ffn(x, g, gu_, wd_):
+                out = ops.fused_ffn_norm(x, g, gu_, wd_, cfg.rms_norm_eps)
+                return out if out is not None else x
+
+            dt = time_call(f_ffn, x1, layer0["ffn_norm"], gu, wd, reps=reps)
+            add("ffn_norm(fused)", "", dt, L,
+                _leaf_bytes(gu) + _leaf_bytes(wd))
 
     # -- lm head -------------------------------------------------------------
     head = model.params.get("lm_head")
@@ -213,7 +253,14 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
 
     x0 = jnp.zeros((batch, 2), jnp.float32)
     dt_step = time_call(step_fn, x0, model.params, cache, reps=reps)
-    accounted = sum(r["us_tok"] for r in rows)
+    # reconcile against the kernels the step ACTUALLY runs: with the fused
+    # path attached, the per-projection and decode_attention rows are
+    # reference points only (the step runs attn_block + ffn_norm instead)
+    fused = any("(fused)" in r["name"] for r in rows)
+    served = ("wqkv", "wo", "w_gate_up", "w_gate", "w_up", "w_down",
+              "decode_attention")
+    accounted = sum(r["us_tok"] for r in rows
+                    if not (fused and r["name"] in served))
     add("full decode step", "", dt_step, 1, 0)
     rows.append({"name": "unaccounted (dispatch+glue)", "shape": "",
                  "us_call": dt_step * 1e6 - accounted, "calls_tok": 1,

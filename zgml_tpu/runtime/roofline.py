@@ -68,12 +68,18 @@ def weight_bytes_per_token(params: dict) -> int:
     single gathered row unless it doubles as a tied LM head (then the full
     matrix feeds the logits matmul).
     """
+    from zgml_tpu.quant.headmajor import DERIVED_KEYS
     total = 0
     layers = params["layers"]
     layer_list = layers if isinstance(layers, (list, tuple)) else [layers]
     for layer in layer_list:
-        for leaf in jax.tree.leaves(layer,
-                                    is_leaf=lambda x: isinstance(x, PackedWeight)):
+        # derived views (qkv3/wo3/ffn_q4n) DUPLICATE the planar weights: a
+        # decode step reads one copy per projection, so count planar only
+        entries = ({k: v for k, v in layer.items()
+                    if k not in DERIVED_KEYS}
+                   if isinstance(layer, dict) else layer)
+        for leaf in jax.tree.leaves(
+                entries, is_leaf=lambda x: isinstance(x, PackedWeight)):
             total += _leaf_bytes(leaf)
     if isinstance(layers, dict):
         # stacked leaves already include the layer axis; nothing to scale
