@@ -85,8 +85,9 @@ def test_attn_block_matches_oracle(kind, hq, hkv, pos):
     cos, sin = refs.rope_cos_sin(jnp.asarray([pos]), hd, cfg.rope_base)
     cos2 = jnp.concatenate([cos, cos], axis=1)           # [1, hd]
     sin2 = jnp.concatenate([-sin, sin], axis=1)
-    x2, kc, vc = attn_block_step(cfg, layer, x, cache_k, cache_v,
-                                 pos, cos2, sin2)
+    x2, kc, vc, did_ffn = attn_block_step(cfg, layer, x, cache_k, cache_v,
+                                          pos, cos2, sin2)
+    assert not did_ffn           # test layers carry no FFN weights
 
     want_x2, want_k, want_v = _oracle(
         cfg, layer, x, cache_k.astype(jnp.float32),
@@ -163,3 +164,36 @@ def test_ffn_q4n_matches_oracle():
     want = xn + act @ dequant_packed(wd).T
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 2e-2, rel
+
+
+def test_engine_whole_layer_kernel_matches_unfused(tmp_path, monkeypatch):
+    """Dims chosen so ffn_q4n attaches -> the WHOLE layer runs as one kernel;
+    logits must match the unfused path to quantization-noise tolerance."""
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.runtime.engine import LlamaEngine
+    from zgml_tpu.utils.synthetic import write_synthetic_llama_gguf
+    cfg = LlamaConfig(vocab_size=96, d_model=512, n_heads=8, n_kv_heads=2,
+                      d_ff=1024, n_layers=2, max_seq_len=96)
+    path = tmp_path / "m.gguf"
+    write_synthetic_llama_gguf(str(path), cfg, GGMLType.Q4_0, seed=11)
+    model, _ = load_llama(str(path), mode="quantized")
+    assert "ffn_q4n" in model.params["layers"][0]
+
+    toks = [3, 1, 4, 1, 5, 9]
+    monkeypatch.setenv("ZGML_TPU_LAYER_FFN", "1")   # exercise the merge
+    eng = LlamaEngine(model, donate_cache=False)
+    eng.prefill(toks)
+    _, l1 = eng.step(np.array([7]))
+    _, l1b = eng.step(np.array([8]))
+
+    monkeypatch.setenv("ZGML_TPU_LAYER_FFN", "0")
+    monkeypatch.setenv("ZGML_TPU_ATTN_BLOCK", "0")
+    eng2 = LlamaEngine(model, donate_cache=False)
+    eng2.prefill(toks)
+    _, l2 = eng2.step(np.array([7]))
+    _, l2b = eng2.step(np.array([8]))
+    for a, b in ((l1, l2), (l1b, l2b)):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.999, cos

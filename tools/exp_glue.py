@@ -41,8 +41,10 @@ x0 = jnp.zeros((1, 1, d), jnp.float32)
 
 def chain(x, params, cache, c2, s2):
     for i, layer in enumerate(params["layers"]):
-        x, _, _ = attn_block_step(cfg, layer, x, cache["k"][i],
-                                  cache["v"][i], kv_len, c2, s2)
+        x, _, _, did_ffn = attn_block_step(cfg, layer, x, cache["k"][i],
+                                           cache["v"][i], kv_len, c2, s2)
+        if did_ffn:
+            continue
         if "ffn_q4n" in layer:
             x = ops.fused_ffn_norm_q4n(x, layer["ffn_norm"],
                                        layer["ffn_q4n"], d,

@@ -195,13 +195,15 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             half = cos.shape[-1]
             c2 = jnp.concatenate([cos, cos], -1).reshape(1, 2 * half)
             s2 = jnp.concatenate([-sin, sin], -1).reshape(1, 2 * half)
-            x2, k_cur, v_cur = attn_block_step(
+            x2, k_cur, v_cur, did_ffn = attn_block_step(
                 cfg, layer, x, cache_k, cache_v, pos, c2, s2)
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, k_cur.astype(cache_k.dtype), (0, 0, pos, 0))
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v_cur.astype(cache_v.dtype), (0, 0, pos, 0))
             x = x2.astype(x.dtype)
+            if did_ffn:      # whole layer ran inside the one kernel
+                return x, cache_k, cache_v
             if "ffn_q4n" in layer:
                 # N-packed Q4 FFN: wide DMA runs + fused norm/residual
                 x_new = ops.fused_ffn_norm_q4n(x, layer["ffn_norm"],

@@ -1,11 +1,10 @@
-"""Fused decode attention-block megakernel: rmsnorm + QKV projection + RoPE +
-flash attention (cache + current token) + output projection + residual, in ONE
-Pallas call per layer.
+"""Fused decode layer megakernel: rmsnorm + QKV + RoPE + flash attention +
+output projection (+ optionally the whole SwiGLU FFN) in ONE Pallas call.
 
 Why: decode at small batch is bounded by per-call fixed cost (~3.6us/call
-measured, tools/exp_ramp.py) plus the XLA glue between kernels — at 1B shapes
-the projections alone ran at ~430 GB/s in-step vs ~650 isolated. One call per
-block keeps the whole weight stream inside a single pipelined grid.
+measured, tools/exp_ramp.py) plus pipeline ramp between kernels — at 1B
+shapes the projections alone ran at ~430 GB/s in-step vs ~650 isolated. One
+call per layer keeps the whole weight stream inside a single pipelined grid.
 
 Structure (flat phase grid, one pass):
   phase A (nA static steps)   : per K-tile batched-by-head dequant dot
@@ -17,17 +16,25 @@ Structure (flat phase grid, one pass):
   B epilogue (first C step)   : self-attention column (current token's K/V
                                 straight from registers — the cache write
                                 happens OUTSIDE, in parallel), normalize
-  phase C (nC static steps)   : att @ wo3 per output tile + residual -> x2
+  phase C (nC static steps)   : per HEAD-GROUP att @ wo3 partials into a
+                                full-width accumulator (tiling the
+                                contraction, not the output, keeps every
+                                in-kernel slice static)
+  phase E (nE static steps)   : optional N-packed Q4 FFN (x2 = x + wo_out;
+                                xn2 = rmsnorm(x2)*g2 at the transition; per
+                                F-tile gate|up dots + SwiGLU + down partials)
+  final epilogue              : x_out = x2 (+ ffn accumulator)
 
 Head-major weights (quant/headmajor.py) make the projections batched MXU dots
 so q lands as [heads, m, hd] directly — Mosaic cannot unfold a flat [1, H*hd]
 row into [H, hd] in-kernel (verified unsupported on hardware).
 
-Q4_0: wqkv3 keeps the per-column K-half-split (two x feeds per tile); wo3
-packs the nibble pair along the OUTPUT axis (two output column groups per
-C step) because a K-split would mix heads inside one byte.
+Q4_0: wqkv3 keeps the per-column K-half-split (two x feeds per tile); wo3 and
+the FFN's down pack the nibble pair along the OUTPUT axis (two static
+half-width accumulator updates) because a K-split would mix heads inside one
+byte; the FFN's gate|up pair shares one byte (quant/headmajor.ffn_npack).
 
-ref: the whole block replaces the reference's per-layer decode sequence
+ref: the whole layer replaces the reference's per-layer decode sequence
 (llama_transformer.zig:192-253) and its Metal projection-group/attention
 batching (program.zig:980-3185) at the kernel level.
 """
@@ -38,7 +45,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,7 +59,7 @@ def _interpret() -> bool:
 
 
 def attn_block_enabled() -> bool:
-    """ZGML_TPU_ATTN_BLOCK=0 disables the fused attention-block kernel."""
+    """ZGML_TPU_ATTN_BLOCK=0 disables the fused layer/attention kernels."""
     return os.environ.get("ZGML_TPU_ATTN_BLOCK", "1") != "0"
 
 
@@ -72,27 +78,32 @@ def _dequant(w_ref, s_lo_ref, s_hi_ref, kind):
     return wlo, whi
 
 
-def _attn_block_kernel(
+def _layer_kernel(
         sref,                                     # [2] i32: pos, n_b
         xfull_ref, g1full_ref,                    # [8, dp], [1, dp]
         xlo_ref, xhi_ref, g1lo_ref, g1hi_ref,     # A-phase tiles
         qkv_ref, qslo_ref, qshi_ref,              # head-major wqkv
         cos_ref, sin_ref,                         # [1, hd] rope consts
         ck_ref, cv_ref,                           # cache blocks [hkv, bkB, hd]
-        wo_ref, woslo_ref, woshi_ref,             # head-major wo
-        xreslo_ref, xreshi_ref,                   # C-phase residual tiles
-        x2lo_ref, x2hi_ref, kcur_ref, vcur_ref,   # outputs
+        wo_ref, wos_ref,                          # head-group wo3 blocks
+        g2_ref, gu_ref, gs_ref, us_ref,           # FFN (dummies if !has_ffn)
+        dn_ref, ds_ref,
+        xout_ref, kcur_ref, vcur_ref,             # outputs
         inv_scr, accq_scr, m_scr, l_scr, acc_scr, att_scr,
+        accwo_scr, x2_scr, xn2_scr,
         *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
-        nA: int, nC: int, bkA: int, bkB: int, bnC: int,
-        eps: float, scale: float):
+        nA: int, nC: int, nE: int, hg: int, bkA: int, bkB: int,
+        ckE: int, cdE: int, eps: float, scale: float, has_ffn: bool):
     i = pl.program_id(0)
     pos = sref[0]
     n_b = sref[1]
     a_end = nA
     b_end = nA + n_b
+    c_end = b_end + nC
+    total = c_end + (nE if has_ffn else 0)
     nr = hq // hkv
     htot = hq + 2 * hkv
+    is_q4 = kind == "q4_0"
 
     @pl.when(i == 0)
     def _():
@@ -103,6 +114,7 @@ def _attn_block_kernel(
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        accwo_scr[:] = jnp.zeros_like(accwo_scr)
 
     # -- phase A: batched-by-head QKV projection ----------------------------
     @pl.when(i < a_end)
@@ -173,20 +185,82 @@ def _attn_block_kernel(
         att = acc / safe                             # [hkv, nr, hd]
         att_scr[:] = att.reshape(hq, 1, hd)
 
-    # -- phase C: output projection + residual ------------------------------
-    @pl.when(i >= b_end)
+    # -- phase C: output projection per head group --------------------------
+    @pl.when((i >= b_end) & (i < c_end))
     def _():
-        att = att_scr[:]                             # [hq, 1, hd]
-        wlo, whi = _dequant(wo_ref, woslo_ref, woshi_ref, kind)
-        out_lo = jnp.sum(jax.lax.dot_general(
-            att, wlo, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=0)   # [1, bnC]
-        x2lo_ref[:] = xreslo_ref[:] + out_lo             # rows broadcast
+        cg = i - b_end
+        att_g = att_scr[pl.ds(cg * hg, hg), :, :]    # [hg, 1, hd]
+        dwp = wo_ref.shape[2]
+        w = wo_ref[:]
+        s = wos_ref[:]                               # [hg, hd/QK, dp]
+        if is_q4:
+            v = w.astype(jnp.int32)
+            slo = jnp.repeat(s[:, :, :dwp], QK, axis=1)
+            shi = jnp.repeat(s[:, :, dwp:2 * dwp], QK, axis=1)
+            wlo = ((v & 15) - 8).astype(jnp.float32) * slo
+            whi = (((v >> 4) & 15) - 8).astype(jnp.float32) * shi
+        else:
+            wlo = w.astype(jnp.float32) * jnp.repeat(s, QK, axis=1)
+            whi = None
+        plo = jnp.sum(jax.lax.dot_general(
+            att_g, wlo, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=0)   # [1, dwp]
+        accwo_scr[:, :dwp] += plo                    # rows broadcast
         if whi is not None:
-            out_hi = jnp.sum(jax.lax.dot_general(
-                att, whi, (((2,), (1,)), ((0,), (0,))),
+            phi = jnp.sum(jax.lax.dot_general(
+                att_g, whi, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32), axis=0)
-            x2hi_ref[:] = xreshi_ref[:] + out_hi
+            accwo_scr[:, dwp:2 * dwp] += phi
+
+    if has_ffn:
+        # -- E transition: attention residual + second norm -----------------
+        @pl.when(i == c_end)
+        def _():
+            x2 = xfull_ref[:] + accwo_scr[:]
+            x2_scr[:] = x2
+            ms = jnp.sum(x2 * x2, axis=1, keepdims=True) * (1.0 / d_logical)
+            xn2_scr[:] = x2 * jax.lax.rsqrt(ms + eps) * g2_ref[:]
+            accwo_scr[:] = jnp.zeros_like(accwo_scr)   # reused as FFN acc
+
+        # -- phase E: N-packed Q4 FFN per F-tile ----------------------------
+        @pl.when(i >= c_end)
+        def _():
+            xn = xn2_scr
+            m8, dp = xn.shape
+            hw = dp // 2
+            bf = gu_ref.shape[1]
+            nsb = ckE // QK
+            accg = jnp.zeros((m8, bf), jnp.float32)
+            accu = jnp.zeros((m8, bf), jnp.float32)
+            for c in range(dp // ckE):
+                v = gu_ref[c * ckE:(c + 1) * ckE, :].astype(jnp.int32)
+                xs = xn[:, c * ckE:(c + 1) * ckE]
+                sg = jnp.repeat(gs_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+                su = jnp.repeat(us_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+                wg = ((v & 15) - 8).astype(jnp.float32) * sg
+                wu = (((v >> 4) & 15) - 8).astype(jnp.float32) * su
+                accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
+                accu += jnp.dot(xs, wu, preferred_element_type=jnp.float32)
+            act = accu * (accg * jax.nn.sigmoid(accg))
+            for c in range(hw // cdE):
+                dv = dn_ref[:, c * cdE:(c + 1) * cdE].astype(jnp.int32)
+                sl = jnp.repeat(ds_ref[:, c * cdE:(c + 1) * cdE], QK, axis=0)
+                sh = jnp.repeat(
+                    ds_ref[:, hw + c * cdE: hw + (c + 1) * cdE], QK, axis=0)
+                wl = ((dv & 15) - 8).astype(jnp.float32) * sl
+                wh = (((dv >> 4) & 15) - 8).astype(jnp.float32) * sh
+                accwo_scr[:, c * cdE:(c + 1) * cdE] += jnp.dot(
+                    act, wl, preferred_element_type=jnp.float32)
+                accwo_scr[:, hw + c * cdE: hw + (c + 1) * cdE] += jnp.dot(
+                    act, wh, preferred_element_type=jnp.float32)
+
+    # -- final epilogue ------------------------------------------------------
+    @pl.when(i == total - 1)
+    def _():
+        if has_ffn:
+            xout_ref[:] = x2_scr[:] + accwo_scr[:]
+        else:
+            xout_ref[:] = xfull_ref[:] + accwo_scr[:]
 
 
 def _choose(total: int, limit: int, mult: int) -> int:
@@ -199,59 +273,71 @@ def _choose(total: int, limit: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "hq", "hkv", "hd", "d_logical", "s_len",
-                     "eps", "dp"))
-def _attn_block(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s, pos,
+                     "eps", "dp", "has_ffn"))
+def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
+                g2, gu_q, gs, us, dn_q, ds, pos,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
-                s_len: int, eps: float, dp: int):
-    """x [8, dp] f32 (row 0 live); head-major weights; ck/cv [hkv, S, hd].
-
-    Returns (x2 [8, dp], kcur [hkv, hd], vcur [hkv, hd])."""
+                s_len: int, eps: float, dp: int, has_ffn: bool):
+    """x [8, dp] f32 (row 0 live); head-major/N-packed weights; ck/cv
+    [hkv, S, hd]. Returns (x_out [8, dp], kcur [hkv, hd], vcur [hkv, hd])."""
     htot = hq + 2 * hkv
     kq = qkv_q.shape[1]                  # packed K rows (Kp or Kp/2)
-    dw = wo_q.shape[2]                   # Dp (q8) or Dp/2 (q4)
-    wk_rows = wo_q.shape[1]
+    wk_rows = wo_q.shape[1]              # hd
+    dwp = wo_q.shape[2]                  # dp (q8) or dp/2 (q4)
+    is_q4 = kind == "q4_0"
 
-    def vmem_est(bka, bkb, bnc):
-        # every tiled input/output is double-buffered; scratches single
-        qkv = htot * bka * hd + 2 * htot * max(bka // QK, 8) * hd * 4
+    # bkA floor 256: the A-phase scale tile needs >= 8 sublane rows
+    bkA = _choose(kq, 256, 256) if kq >= 256 else kq
+    fp = dn_q.shape[0] if has_ffn else 0
+
+    def vmem_est(bkb, hg, bfE):
+        qkv = htot * bkA * hd + 2 * htot * max(bkA // QK, 8) * hd * 4
         cache = 2 * hkv * bkb * hd * 2
-        wo = hq * wk_rows * bnc + 2 * hq * (hd // QK) * bnc * 4
-        xviews = 8 * dp * 4 + dp * 4 + 2 * 8 * bka * 4 + 2 * bka * 4 \
-            + 2 * 8 * bnc * 4
-        outs = 2 * 8 * bnc * 4 + 2 * hkv * hd * 4
+        wo = hg * wk_rows * dwp + hg * (hd // QK) * dp * 4
+        ffn = (dp * bfE + bfE * (dp // 2) + 2 * (dp // QK) * bfE * 4
+               + max(bfE // QK, 8) * dp * 4) if has_ffn else 0
+        xviews = 8 * dp * 4 * 2 + dp * 4 * 2 + 4 * 8 * bkA * 4
+        outs = 8 * dp * 4 + 2 * hkv * hd * 4
         scr = (htot * 8 * hd + hq * hd + 3 * hkv * (hq // hkv) * 128
-               + 8 * 128) * 4
-        return 2 * (qkv + cache + wo + xviews + outs) + scr
+               + 3 * 8 * dp + 8 * 128) * 4
+        return 2 * (qkv + cache + wo + ffn + xviews + outs) + scr
 
-    # bkA floor 256: the A-phase scale tile needs >= 8 sublane rows (Mosaic
-    # block constraint); VMEM pressure is relieved via bkB/bnC instead
-    bkA_e = _choose(kq, 256, 256) if kq >= 256 else kq
-    bkB, bnC = 256, 512
-    for _ in range(10):                  # shrink larger of B/C until it fits
+    bkB, hg, bfE = 256, hq, 512
+    for _ in range(12):
         bkB_e = _choose(s_len, bkB, 8)
-        bnC_e = _choose(dw, bnC, 128)
-        if vmem_est(bkA_e, bkB_e, bnC_e) <= 12 << 20:
+        hg_e = hg
+        while hq % hg_e:
+            hg_e -= 1
+        bfE_e = _choose(fp, bfE, 256) if has_ffn else 0
+        if vmem_est(bkB_e, hg_e, bfE_e) <= 11 << 20:
             break
-        if 4 * hkv * bkB_e * hd >= hq * wk_rows * bnC_e and bkB_e > 64:
+        costs = {"B": 4 * hkv * bkB_e * hd,
+                 "C": hg_e * wk_rows * dwp,
+                 "E": (dp * bfE_e + bfE_e * dp // 2) if has_ffn else 0}
+        big = max(costs, key=costs.get)
+        if big == "B" and bkB_e > 64:
             bkB = bkB_e // 2
-        elif bnC_e > 128:
-            bnC = bnC_e // 2
+        elif big == "C" and hg_e > 1:
+            hg = max(1, hg_e // 2)
+        elif big == "E" and bfE_e > 256:     # ds tile needs >=8 sublanes
+            bfE = bfE_e // 2
         elif bkB_e > 64:
             bkB = bkB_e // 2
         else:
             break
-    bkB, bnC = bkB_e, bnC_e
-    bkA = bkA_e
+    bkB, hg = bkB_e, hg_e
+    bfE = bfE_e if has_ffn else 128
     nA = kq // bkA
-    nC = dw // bnC
+    nC = hq // hg
+    nE = (fp // bfE) if has_ffn else 0
+    ckE = _choose(dp, 1024, 256) if has_ffn else 256
+    cdE = _choose(dp // 2, 1024, 256) if has_ffn else 256
     scale = 1.0 / (hd ** 0.5)
     n_b = jnp.clip((jnp.maximum(pos, 1) + bkB - 1) // bkB,
                    1, s_len // bkB).astype(jnp.int32)
-    grid = nA + n_b + nC
+    grid = nA + n_b + nC + nE
     sarr = jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()), n_b])
-
-    nsA = bkA // QK                      # scale rows per A tile
-    is_q4 = kind == "q4_0"
+    nsA = max(bkA // QK, 1)
 
     def xa_lo(i, s):
         return (0, jnp.minimum(i, nA - 1))
@@ -262,8 +348,11 @@ def _attn_block(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s, pos,
     def kvm(i, s):
         return (0, jnp.clip(i - nA, 0, s[1] - 1), 0)
 
-    def cm(i, s):
+    def cgm(i, s):
         return jnp.clip(i - nA - s[1], 0, nC - 1)
+
+    def ffm(i, s):
+        return jnp.clip(i - nA - s[1] - nC, 0, max(nE - 1, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -286,21 +375,20 @@ def _attn_block(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s, pos,
             pl.BlockSpec((1, hd), lambda i, s: (0, 0)),          # sin2
             pl.BlockSpec((hkv, bkB, hd), kvm),                   # ck
             pl.BlockSpec((hkv, bkB, hd), kvm),                   # cv
-            pl.BlockSpec((hq, wo_q.shape[1], bnC),
-                         lambda i, s: (0, 0, cm(i, s))),         # wo
-            pl.BlockSpec((hq, hd // QK, bnC),
-                         lambda i, s: (0, 0, cm(i, s))),         # wo s lo
-            pl.BlockSpec((hq, hd // QK, bnC),
-                         lambda i, s: (0, 0, cm(i, s)
-                                       + (nC if is_q4 else 0))),  # wo s hi
-            pl.BlockSpec((8, bnC), lambda i, s: (0, cm(i, s))),  # xres lo
-            pl.BlockSpec((8, bnC),
-                         lambda i, s: (0, cm(i, s)
-                                       + (nC if is_q4 else 0))),  # xres hi
+            pl.BlockSpec((hg, wk_rows, dwp),
+                         lambda i, s: (cgm(i, s), 0, 0)),        # wo3
+            pl.BlockSpec((hg, hd // QK, wo_s.shape[2]),
+                         lambda i, s: (cgm(i, s), 0, 0)),        # wo3 scales
+            pl.BlockSpec((1, dp), lambda i, s: (0, 0)),          # g2
+            pl.BlockSpec((dp, bfE), lambda i, s: (0, ffm(i, s))),
+            pl.BlockSpec((dp // QK, bfE), lambda i, s: (0, ffm(i, s))),
+            pl.BlockSpec((dp // QK, bfE), lambda i, s: (0, ffm(i, s))),
+            pl.BlockSpec((bfE, dp // 2), lambda i, s: (ffm(i, s), 0)),
+            pl.BlockSpec((max(bfE // QK, 1), dp),
+                         lambda i, s: (ffm(i, s), 0)),
         ],
         out_specs=[
-            pl.BlockSpec((8, bnC), lambda i, s: (0, cm(i, s))),  # x2 lo
-            pl.BlockSpec((8, bnC), lambda i, s: (0, cm(i, s))),  # x2 hi
+            pl.BlockSpec((8, dp), lambda i, s: (0, 0)),          # x_out
             pl.BlockSpec((hkv, hd), lambda i, s: (0, 0)),        # kcur
             pl.BlockSpec((hkv, hd), lambda i, s: (0, 0)),        # vcur
         ],
@@ -311,29 +399,26 @@ def _attn_block(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s, pos,
             pltpu.VMEM((hkv, hq // hkv, 128), jnp.float32),      # l
             pltpu.VMEM((hkv, hq // hkv, hd), jnp.float32),       # acc att
             pltpu.VMEM((hq, 1, hd), jnp.float32),                # att
+            pltpu.VMEM((8, dp), jnp.float32),                    # acc wo/ffn
+            pltpu.VMEM((8, dp), jnp.float32),                    # x2
+            pltpu.VMEM((8, dp), jnp.float32),                    # xn2
         ],
     )
-    dwidth = dw                          # per-half width written by C steps
-    x2lo, x2hi, kcur, vcur = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
-            _attn_block_kernel, kind=kind, hq=hq, hkv=hkv, hd=hd,
-            d_logical=d_logical, nA=nA, nC=nC, bkA=bkA, bkB=bkB, bnC=bnC,
-            eps=eps, scale=scale),
+            _layer_kernel, kind=kind, hq=hq, hkv=hkv, hd=hd,
+            d_logical=d_logical, nA=nA, nC=nC, nE=nE, hg=hg, bkA=bkA,
+            bkB=bkB, ckE=ckE, cdE=cdE, eps=eps, scale=scale,
+            has_ffn=has_ffn),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((8, dwidth), jnp.float32),
-            jax.ShapeDtypeStruct((8, dwidth), jnp.float32),
+            jax.ShapeDtypeStruct((8, dp), jnp.float32),
             jax.ShapeDtypeStruct((hkv, hd), jnp.float32),
             jax.ShapeDtypeStruct((hkv, hd), jnp.float32),
         ],
         interpret=_interpret(),
     )(sarr, x, g1, x, x, g1, g1, qkv_q, qkv_s, qkv_s, cos2, sin2, ck, cv,
-      wo_q, wo_s, wo_s, x, x)
-    if is_q4:
-        x2 = jnp.concatenate([x2lo, x2hi], axis=1)
-    else:
-        x2 = x2lo
-    return x2, kcur, vcur
+      wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds)
 
 
 def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
@@ -348,30 +433,58 @@ def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
         return False
     if cfg.head_dim % QK or cfg.head_dim < QK:
         return False
+    dp = qkv3.qvals.shape[1] * (2 if qkv3.kind == "q4_0" else 1)
+    wo_w = wo3.qvals.shape[2] * (2 if wo3.kind == "q4_0" else 1)
+    if wo_w > dp:                # wo accumulator lives in [8, dp] scratch
+        return False
     return True
 
 
 def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
-    """One fused attention block. x [1, 1, d] f32; cache [1, hkv, S, hd].
+    """One fused layer (or attention block). x [1, 1, d] f32; cache
+    [1, hkv, S, hd].
 
-    Returns (x2 [1, 1, d], k_cur [1, hkv, 1, hd], v_cur like k_cur)."""
+    Returns (x_out [1, 1, d], k_cur [1, hkv, 1, hd], v_cur, did_ffn) where
+    did_ffn says whether the kernel already applied norm2+FFN+residual."""
     qkv3: HeadPacked = layer["qkv3"]
     wo3: HeadPacked = layer["wo3"]
     hq, hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     d = cfg.d_model
     dp = qkv3.qvals.shape[1] * (2 if qkv3.kind == "q4_0" else 1)
+    # Whole-layer merge (FFN phases inside this kernel) is OFF by default:
+    # measured slower than the attn-block + separate-FFN split at 1B
+    # (1.62 vs 1.52 ms/step) — one kernel with every phase's inputs prefetches
+    # ~4.5MB of later-phase block-0s before phase A can start.
+    pack = layer.get("ffn_q4n")
+    has_ffn = (pack is not None and qkv3.kind == "q4_0"
+               and pack["gu_q"].shape[0] == dp
+               and os.environ.get("ZGML_TPU_LAYER_FFN", "0") == "1")
     x2d = x.reshape(1, d).astype(jnp.float32)
     xp = jnp.pad(x2d, ((0, 7), (0, dp - d)))
     g1 = jnp.pad(layer["attn_norm"].reshape(1, d).astype(jnp.float32),
                  ((0, 0), (0, dp - d)))
+    g2_raw = layer.get("ffn_norm")
+    g2 = (jnp.pad(g2_raw.reshape(1, d).astype(jnp.float32),
+                  ((0, 0), (0, dp - d)))
+          if g2_raw is not None else jnp.zeros((1, dp), jnp.float32))
     s_len = cache_k.shape[2]
-    x2, kcur, vcur = _attn_block(
+    if has_ffn:
+        gu_q, gs, us = pack["gu_q"], pack["gs"], pack["us"]
+        dn_q, ds = pack["dn_q"], pack["ds"]
+    else:
+        # dummy minimal FFN inputs (nE == 0; blocks still need legal shapes)
+        gu_q = jnp.zeros((dp, 128), jnp.int8)
+        gs = us = jnp.zeros((dp // QK, 128), jnp.float32)
+        dn_q = jnp.zeros((128, dp // 2), jnp.int8)
+        ds = jnp.zeros((max(128 // QK, 1), dp), jnp.float32)
+    x_out, kcur, vcur = _layer_call(
         xp, g1, qkv3.qvals, qkv3.scales, cos2, sin2,
         cache_k.reshape(hkv, s_len, hd), cache_v.reshape(hkv, s_len, hd),
-        wo3.qvals, wo3.scales, pos,
+        wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
         kind=qkv3.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
-        s_len=s_len, eps=cfg.rms_norm_eps, dp=dp)
-    x_out = x2[0:1, :d].reshape(1, 1, d).astype(x.dtype)
+        s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn)
+    x_out = x_out[0:1, :d].reshape(1, 1, d).astype(x.dtype)
     return (x_out,
             kcur.reshape(1, hkv, 1, hd),
-            vcur.reshape(1, hkv, 1, hd))
+            vcur.reshape(1, hkv, 1, hd),
+            has_ffn)

@@ -198,13 +198,17 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
                          jnp.float32)
 
         def f_ab(x, layer, ck1, cv1, c2, s2):
-            x2, _, _ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len,
-                                       c2, s2)
+            x2, _, _, _ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len,
+                                          c2, s2)
             return x2
 
         dt = time_call(f_ab, x1, layer0, kc, vc, cos2, sin2, reps=reps)
         ab_bytes = (layer0["qkv3"].nbytes + layer0["wo3"].nbytes + kv_bytes)
-        add("attn_block(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
+        if "ffn_q4n" in layer0:          # whole-layer kernel: FFN included
+            ab_bytes += sum(v.nbytes for v in layer0["ffn_q4n"].values())
+            add("layer(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
+        else:
+            add("attn_block(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
 
         gu, wd = layer0.get("w_gate_up"), layer0.get("w_down")
         if "ffn_q4n" in layer0:
@@ -257,8 +261,10 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     # path attached, the per-projection and decode_attention rows are
     # reference points only (the step runs attn_block + ffn_norm instead)
     fused = any("(fused)" in r["name"] for r in rows)
-    served = ("wqkv", "wo", "w_gate_up", "w_gate", "w_up", "w_down",
-              "decode_attention")
+    served = ["wqkv", "wo", "w_gate_up", "w_gate", "w_up", "w_down",
+              "decode_attention"]
+    if any(r["name"] == "layer(fused)" for r in rows):
+        served += ["ffn_q4n(fused)", "ffn_norm(fused)"]
     accounted = sum(r["us_tok"] for r in rows
                     if not (fused and r["name"] in served))
     add("full decode step", "", dt_step, 1, 0)
