@@ -59,8 +59,10 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(block_live)
     def _():
-        q = q_ref[0].astype(jnp.float32)          # [bq, d]
-        k = k_ref[0].astype(jnp.float32)          # [bk, d]
+        # bf16 MXU operands, f32 accumulate: prefill is MXU-bound and f32
+        # dots run at 1/4 rate; softmax math stays f32
+        q = q_ref[0].astype(jnp.bfloat16)         # [bq, d]
+        k = k_ref[0].astype(jnp.bfloat16)         # [bk, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         # mask: key j (abs kb*bk+j) must be < kv_len and <= q_off + (qb*bq+i)
@@ -77,7 +79,8 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)

@@ -56,8 +56,10 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(block_live)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # bf16 MXU operands (f32 accumulate) to match the inference kernel
+        # bit-for-bit; softmax math stays f32
+        q = q_ref[0].astype(jnp.bfloat16)
+        k = k_ref[0].astype(jnp.bfloat16)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         ki = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
@@ -72,7 +74,8 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)

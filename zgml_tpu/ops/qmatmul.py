@@ -41,7 +41,8 @@ def _expand_scales(s, block=QK):
 
 # -- Q8_0 ---------------------------------------------------------------------
 
-def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype,
+               dot_bf16: bool = False):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -49,21 +50,33 @@ def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = q_ref[:].astype(jnp.float32) * _expand_scales(s_ref[:])
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if dot_bf16:
+        # prefill (large M) is MXU-bound: f32 x f32 runs the MXU at 1/4 rate;
+        # bf16 operands with f32 accumulation are the native fast path (the
+        # rounding is far below the Q4/Q8 quantization error)
+        acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16),
+                              w.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+    else:
+        acc_ref[:] += jnp.dot(x_ref[:], w,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
-def _q8_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",
+                                             "dot_bf16"))
+def _q8_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype,
+               dot_bf16: bool = False):
     m, k_pad = x.shape
     _, n_pad = qvals.shape
     n_k = k_pad // bk
     grid = (m // bm, n_pad // bn, n_k)
     return pl.pallas_call(
-        functools.partial(_q8_kernel, n_k=n_k, out_dtype=out_dtype),
+        functools.partial(_q8_kernel, n_k=n_k, out_dtype=out_dtype,
+                          dot_bf16=dot_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda mb, nb, kb: (mb, kb),
@@ -84,7 +97,7 @@ def _q8_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
 # -- Q4_0 ---------------------------------------------------------------------
 
 def _q4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
-               *, n_k: int, out_dtype):
+               *, n_k: int, out_dtype, dot_bf16: bool = False):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -94,23 +107,36 @@ def _q4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
     v = q_ref[:].astype(jnp.int32)
     wlo = ((v & 15) - 8).astype(jnp.float32) * _expand_scales(slo_ref[:])
     whi = (((v >> 4) & 15) - 8).astype(jnp.float32) * _expand_scales(shi_ref[:])
-    acc_ref[:] += (jnp.dot(xlo_ref[:], wlo, preferred_element_type=jnp.float32) +
-                   jnp.dot(xhi_ref[:], whi, preferred_element_type=jnp.float32))
+    if dot_bf16:
+        acc_ref[:] += (
+            jnp.dot(xlo_ref[:].astype(jnp.bfloat16),
+                    wlo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(xhi_ref[:].astype(jnp.bfloat16),
+                      whi.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32))
+    else:
+        acc_ref[:] += (
+            jnp.dot(xlo_ref[:], wlo, preferred_element_type=jnp.float32)
+            + jnp.dot(xhi_ref[:], whi, preferred_element_type=jnp.float32))
 
     @pl.when(kb == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype"))
-def _q4_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",
+                                             "dot_bf16"))
+def _q4_matmul(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype,
+               dot_bf16: bool = False):
     """bk is the *packed* K tile (covers 2*bk logical K per step)."""
     m, k_pad = x.shape
     kh, n_pad = qvals.shape          # kh = k_pad // 2
     n_k = kh // bk
     grid = (m // bm, n_pad // bn, n_k)
     return pl.pallas_call(
-        functools.partial(_q4_kernel, n_k=n_k, out_dtype=out_dtype),
+        functools.partial(_q4_kernel, n_k=n_k, out_dtype=out_dtype,
+                          dot_bf16=dot_bf16),
         grid=grid,
         in_specs=[
             # x low half: k in [kb*bk, kb*bk+bk)
@@ -436,14 +462,18 @@ def _qmm_diff(meta, x2, qvals, scales):
     # small serving batch — exactly where per-element dequant is the
     # bottleneck). Its [nbk, bm, bn] int32 partials live in VMEM (16 MB), so
     # bm is capped at 32; large-M prefill amortizes dequant over rows and
-    # stays on the f32 tier.
+    # runs the dequant tier with bf16 MXU operands (f32 runs at 1/4 rate;
+    # ZGML_TPU_PREFILL_BF16=0 restores f32 dots).
     use_i8 = _i8dot_enabled() and bm == x2.shape[0] and bm <= 32
-    if kind == "q8_0":
-        f = _q8_matmul_i8 if use_i8 else _q8_matmul
-    else:
-        f = _q4_matmul_i8 if use_i8 else _q4_matmul
+    if use_i8:
+        f = _q8_matmul_i8 if kind == "q8_0" else _q4_matmul_i8
+        return f(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
+                 out_dtype=np.dtype(out_dtype))
+    bf16_ok = (bm >= 32
+               and os.environ.get("ZGML_TPU_PREFILL_BF16", "1") != "0")
+    f = _q8_matmul if kind == "q8_0" else _q4_matmul
     return f(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
-             out_dtype=np.dtype(out_dtype))
+             out_dtype=np.dtype(out_dtype), dot_bf16=bf16_ok)
 
 
 def _qmm_diff_fwd(meta, x2, qvals, scales):
