@@ -112,7 +112,7 @@ def test_engine_fused_attn_block_matches_unfused(tmp_path, monkeypatch):
     path = tmp_path / "m.gguf"
     write_synthetic_llama_gguf(str(path), cfg, GGMLType.Q4_0, seed=7)
     model, _ = load_llama(str(path), mode="quantized")
-    assert "qkv3" in model.params["layers"][0]
+    assert "wo3" in model.params["layers"][0]
 
     toks = [3, 1, 4, 1, 5]
     eng = LlamaEngine(model, donate_cache=False)

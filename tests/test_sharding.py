@@ -291,15 +291,17 @@ def test_pp_train_step_matches_single_device():
     loss, new_params = step(params, tokens, model.init_cache(b), 0.1)
 
     assert abs(float(loss) - float(ref_loss)) < 1e-4
+    # atol covers bf16-dot rounding: the PP microbatch split changes the
+    # flash-attention accumulation order (ops use bf16 MXU operands)
     for name in ("tok_embd", "out_norm"):
         np.testing.assert_allclose(np.asarray(new_params[name]),
                                    np.asarray(ref_params[name]),
-                                   rtol=1e-3, atol=1e-5)
+                                   rtol=1e-3, atol=1e-4)
     for leaf_name in ("wq", "w_down", "attn_norm"):
         np.testing.assert_allclose(
             np.asarray(new_params["layers"][leaf_name]),
             np.asarray(ref_params["layers"][leaf_name]),
-            rtol=1e-3, atol=1e-5, err_msg=leaf_name)
+            rtol=1e-3, atol=1e-4, err_msg=leaf_name)
 
 
 def test_cp_prefill_2048_matches_single_device():

@@ -181,7 +181,7 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     per_row_pos = getattr(pos, "ndim", 0) == 1
     if (decode and b == 1 and t == 1 and tp_axis is None
             and cache_row is None and write_pos is None and not per_row_pos
-            and "qkv3" in layer):
+            and "wo3" in layer):
         from zgml_tpu.ops.layerkernel import (attn_block_compatible,
                                               attn_block_enabled,
                                               attn_block_step)

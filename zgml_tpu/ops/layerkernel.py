@@ -89,16 +89,16 @@ def _layer_kernel(
         g2_ref, gu_ref, gs_ref, us_ref,           # FFN (dummies if !has_ffn)
         dn_ref, ds_ref,
         xout_ref, kcur_ref, vcur_ref,             # outputs
-        inv_scr, accq_scr, m_scr, l_scr, acc_scr, att_scr,
-        accwo_scr, x2_scr, xn2_scr,
+        inv_scr, accq_scr, q2_scr, kv2_scr, m_scr, l_scr, acc_scr,
+        att_scr, accwo_scr, x2_scr, xn2_scr,
         *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
-        nA: int, nC: int, nE: int, hg: int, bkA: int, bkB: int,
+        nA: int, ncA: int, nC: int, nE: int, hg: int, bkA: int, bkB: int,
         ckE: int, cdE: int, eps: float, scale: float, has_ffn: bool):
     i = pl.program_id(0)
     pos = sref[0]
     n_b = sref[1]
-    a_end = nA
-    b_end = nA + n_b
+    a_end = nA * ncA
+    b_end = a_end + n_b
     c_end = b_end + nC
     total = c_end + (nE if has_ffn else 0)
     nr = hq // hkv
@@ -116,42 +116,48 @@ def _layer_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
         accwo_scr[:] = jnp.zeros_like(accwo_scr)
 
-    # -- phase A: batched-by-head QKV projection ----------------------------
-    @pl.when(i < a_end)
-    def _():
-        inv = inv_scr[:, :1]                         # [8, 1]
-        wlo, whi = _dequant(qkv_ref, qslo_ref, qshi_ref, kind)
-        xlo = xlo_ref[:] * inv * g1lo_ref[:]         # [8, bkA]
-        xb = jnp.broadcast_to(xlo[None], (htot, 8, bkA))
-        part = jax.lax.dot_general(
-            xb, wlo, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Htot, 8, hd]
-        if whi is not None:
-            xhi = xhi_ref[:] * inv * g1hi_ref[:]
-            xbh = jnp.broadcast_to(xhi[None], (htot, 8, bkA))
-            part = part + jax.lax.dot_general(
-                xbh, whi, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-        accq_scr[:] += part
+    # -- phase A: planar QKV projection (flat accumulator) ------------------
+    # ncA > 1 splits the weight's output columns into static sub-phases
+    # (col group `col` runs steps [col*nA, (col+1)*nA)) so the accumulator
+    # slice stays static while the per-step block shrinks ncA-fold (VMEM)
+    ncw = qkv_ref.shape[1]                           # n_qkv // ncA
+    for col in range(ncA):
+        @pl.when((i >= col * nA) & (i < (col + 1) * nA))
+        def _(col=col):
+            inv = inv_scr[:, :1]                     # [8, 1]
+            wlo, whi = _dequant(qkv_ref, qslo_ref, qshi_ref, kind)
+            xlo = xlo_ref[:] * inv * g1lo_ref[:]     # [8, bkA]
+            part = jnp.dot(xlo, wlo, preferred_element_type=jnp.float32)
+            if whi is not None:
+                xhi = xhi_ref[:] * inv * g1hi_ref[:]
+                part = part + jnp.dot(xhi, whi,
+                                      preferred_element_type=jnp.float32)
+            accq_scr[:, col * ncw:(col + 1) * ncw] += part
 
-    # -- A epilogue: rope, emit current K/V ---------------------------------
+    # -- A epilogue: regroup heads (static sub-lane slices), rope, emit K/V -
     @pl.when(i == a_end - 1)
     def _():
+        nq = hq * hd
+        nkv = hkv * hd
+        for h in range(hq):
+            q2_scr[h:h + 1, :] = accq_scr[0:1, h * hd:(h + 1) * hd]
+        for h in range(hkv):
+            kv2_scr[h:h + 1, :] = accq_scr[0:1, nq + h * hd: nq + (h + 1) * hd]
+            kv2_scr[hkv + h:hkv + h + 1, :] = \
+                accq_scr[0:1, nq + nkv + h * hd: nq + nkv + (h + 1) * hd]
         cos = cos_ref[:]                             # [1, hd] = [c, c]
         sin = sin_ref[:]                             # [1, hd] = [-s, s]
-        q = accq_scr[:hq, 0, :]                      # [hq, hd]
-        q = q * cos + pltpu.roll(q, hd // 2, 1) * sin
-        accq_scr[:hq, 0, :] = q
-        kc = accq_scr[hq:hq + hkv, 0, :]             # [hkv, hd]
-        kc = kc * cos + pltpu.roll(kc, hd // 2, 1) * sin
-        kcur_ref[:] = kc
-        vcur_ref[:] = accq_scr[hq + hkv:, 0, :]
+        q = q2_scr[:]
+        q2_scr[:] = q * cos + pltpu.roll(q, hd // 2, 1) * sin
+        kc = kv2_scr[:hkv, :]
+        kcur_ref[:] = kc * cos + pltpu.roll(kc, hd // 2, 1) * sin
+        vcur_ref[:] = kv2_scr[hkv:, :]
 
     # -- phase B: flash attention over the cache prefix ---------------------
     @pl.when((i >= a_end) & (i < b_end))
     def _():
         kb = i - a_end
-        q3 = accq_scr[:hq, 0, :].reshape(hkv, nr, hd)
+        q3 = q2_scr[:].reshape(hkv, nr, hd)
         k = ck_ref[:].astype(jnp.float32)            # [hkv, bkB, hd]
         s = jax.lax.dot_general(q3, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
@@ -171,7 +177,7 @@ def _layer_kernel(
     # -- B epilogue (first C step): self column + normalize -----------------
     @pl.when(i == b_end)
     def _():
-        q3 = accq_scr[:hq, 0, :].reshape(hkv, nr, hd)
+        q3 = q2_scr[:].reshape(hkv, nr, hd)
         kc = kcur_ref[:]                             # rope'd [hkv, hd]
         s_self = jnp.sum(q3 * kc[:, None, :], axis=2,
                          keepdims=True) * scale      # [hkv, nr, 1]
@@ -278,10 +284,11 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
                 g2, gu_q, gs, us, dn_q, ds, pos,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
                 s_len: int, eps: float, dp: int, has_ffn: bool):
-    """x [8, dp] f32 (row 0 live); head-major/N-packed weights; ck/cv
-    [hkv, S, hd]. Returns (x_out [8, dp], kcur [hkv, hd], vcur [hkv, hd])."""
+    """x [8, dp] f32 (row 0 live); PLANAR wqkv, head-major wo3, N-packed FFN;
+    ck/cv [hkv, S, hd]. Returns (x_out [8, dp], kcur, vcur [hkv, hd])."""
     htot = hq + 2 * hkv
-    kq = qkv_q.shape[1]                  # packed K rows (Kp or Kp/2)
+    kq = qkv_q.shape[0]                  # planar packed K rows (Kp or Kp/2)
+    n_qkv = qkv_q.shape[1]               # padded out cols
     wk_rows = wo_q.shape[1]              # hd
     dwp = wo_q.shape[2]                  # dp (q8) or dp/2 (q4)
     is_q4 = kind == "q4_0"
@@ -290,32 +297,40 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
     bkA = _choose(kq, 256, 256) if kq >= 256 else kq
     fp = dn_q.shape[0] if has_ffn else 0
 
-    def vmem_est(bkb, hg, bfE):
-        qkv = htot * bkA * hd + 2 * htot * max(bkA // QK, 8) * hd * 4
+    def vmem_est(bkb, hg, bfE, nca):
+        qkv = (bkA * n_qkv + 2 * max(bkA // QK, 8) * n_qkv * 4) // nca
         cache = 2 * hkv * bkb * hd * 2
         wo = hg * wk_rows * dwp + hg * (hd // QK) * dp * 4
         ffn = (dp * bfE + bfE * (dp // 2) + 2 * (dp // QK) * bfE * 4
                + max(bfE // QK, 8) * dp * 4) if has_ffn else 0
         xviews = 8 * dp * 4 * 2 + dp * 4 * 2 + 4 * 8 * bkA * 4
         outs = 8 * dp * 4 + 2 * hkv * hd * 4
-        scr = (htot * 8 * hd + hq * hd + 3 * hkv * (hq // hkv) * 128
+        scr = (8 * n_qkv + (hq + 2 * hkv) * hd + hq * hd
+               + 3 * hkv * (hq // hkv) * 128
                + 3 * 8 * dp + 8 * 128) * 4
         return 2 * (qkv + cache + wo + ffn + xviews + outs) + scr
 
-    bkB, hg, bfE = 256, hq, 512
-    for _ in range(12):
+    # budget calibrated against Mosaic's ACTUAL scoped-vmem accounting
+    # (est 11MB compiled to 20.3MB on a 7B-MHA shape: ~1.8x undercount)
+    budget = 6 << 20
+    bkB, hg, bfE, ncA = 256, hq, 512, 1
+    for _ in range(14):
         bkB_e = _choose(s_len, bkB, 8)
         hg_e = hg
         while hq % hg_e:
             hg_e -= 1
         bfE_e = _choose(fp, bfE, 256) if has_ffn else 0
-        if vmem_est(bkB_e, hg_e, bfE_e) <= 11 << 20:
+        if vmem_est(bkB_e, hg_e, bfE_e, ncA) <= budget:
             break
-        costs = {"B": 4 * hkv * bkB_e * hd,
+        costs = {"A": (bkA * n_qkv) // ncA,
+                 "B": 4 * hkv * bkB_e * hd,
                  "C": hg_e * wk_rows * dwp,
                  "E": (dp * bfE_e + bfE_e * dp // 2) if has_ffn else 0}
         big = max(costs, key=costs.get)
-        if big == "B" and bkB_e > 64:
+        if (big == "A" and ncA < 4
+                and (n_qkv // (2 * ncA)) % 128 == 0):
+            ncA *= 2
+        elif big == "B" and bkB_e > 64:
             bkB = bkB_e // 2
         elif big == "C" and hg_e > 1:
             hg = max(1, hg_e // 2)
@@ -328,6 +343,7 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
     bkB, hg = bkB_e, hg_e
     bfE = bfE_e if has_ffn else 128
     nA = kq // bkA
+    ncw = n_qkv // ncA
     nC = hq // hg
     nE = (fp // bfE) if has_ffn else 0
     ckE = _choose(dp, 1024, 256) if has_ffn else 256
@@ -335,24 +351,42 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
     scale = 1.0 / (hd ** 0.5)
     n_b = jnp.clip((jnp.maximum(pos, 1) + bkB - 1) // bkB,
                    1, s_len // bkB).astype(jnp.int32)
-    grid = nA + n_b + nC + nE
+    a_steps = nA * ncA
+    grid = a_steps + n_b + nC + nE
     sarr = jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()), n_b])
     nsA = max(bkA // QK, 1)
 
+    def _rowcol(i):
+        ka = jnp.minimum(i, a_steps - 1)
+        col = ka // nA
+        return ka - col * nA, col
+
     def xa_lo(i, s):
-        return (0, jnp.minimum(i, nA - 1))
+        return (0, _rowcol(i)[0])
 
     def xa_hi(i, s):
-        return (0, jnp.minimum(i, nA - 1) + (nA if is_q4 else 0))
+        return (0, _rowcol(i)[0] + (nA if is_q4 else 0))
+
+    def wqm(i, s):
+        row, col = _rowcol(i)
+        return (row, col)
+
+    def wqs_lo(i, s):
+        row, col = _rowcol(i)
+        return (row, col)
+
+    def wqs_hi(i, s):
+        row, col = _rowcol(i)
+        return (row + (nA if is_q4 else 0), col)
 
     def kvm(i, s):
-        return (0, jnp.clip(i - nA, 0, s[1] - 1), 0)
+        return (0, jnp.clip(i - a_steps, 0, s[1] - 1), 0)
 
     def cgm(i, s):
-        return jnp.clip(i - nA - s[1], 0, nC - 1)
+        return jnp.clip(i - a_steps - s[1], 0, nC - 1)
 
     def ffm(i, s):
-        return jnp.clip(i - nA - s[1] - nC, 0, max(nE - 1, 0))
+        return jnp.clip(i - a_steps - s[1] - nC, 0, max(nE - 1, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -364,13 +398,9 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
             pl.BlockSpec((8, bkA), xa_hi),                       # x A hi
             pl.BlockSpec((1, bkA), xa_lo),                       # g1 A lo
             pl.BlockSpec((1, bkA), xa_hi),                       # g1 A hi
-            pl.BlockSpec((htot, bkA, hd),
-                         lambda i, s: (0, jnp.minimum(i, nA - 1), 0)),
-            pl.BlockSpec((htot, nsA, hd),
-                         lambda i, s: (0, jnp.minimum(i, nA - 1), 0)),
-            pl.BlockSpec((htot, nsA, hd),
-                         lambda i, s: (0, jnp.minimum(i, nA - 1)
-                                       + (nA if is_q4 else 0), 0)),
+            pl.BlockSpec((bkA, ncw), wqm),
+            pl.BlockSpec((nsA, ncw), wqs_lo),
+            pl.BlockSpec((nsA, ncw), wqs_hi),
             pl.BlockSpec((1, hd), lambda i, s: (0, 0)),          # cos2
             pl.BlockSpec((1, hd), lambda i, s: (0, 0)),          # sin2
             pl.BlockSpec((hkv, bkB, hd), kvm),                   # ck
@@ -394,7 +424,9 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
         ],
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),                   # inv rms
-            pltpu.VMEM((htot, 8, hd), jnp.float32),              # acc qkv
+            pltpu.VMEM((8, n_qkv), jnp.float32),                 # acc qkv flat
+            pltpu.VMEM((hq, hd), jnp.float32),                   # q heads
+            pltpu.VMEM((2 * hkv, hd), jnp.float32),              # k/v cur
             pltpu.VMEM((hkv, hq // hkv, 128), jnp.float32),      # m
             pltpu.VMEM((hkv, hq // hkv, 128), jnp.float32),      # l
             pltpu.VMEM((hkv, hq // hkv, hd), jnp.float32),       # acc att
@@ -407,8 +439,8 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
     return pl.pallas_call(
         functools.partial(
             _layer_kernel, kind=kind, hq=hq, hkv=hkv, hd=hd,
-            d_logical=d_logical, nA=nA, nC=nC, nE=nE, hg=hg, bkA=bkA,
-            bkB=bkB, ckE=ckE, cdE=cdE, eps=eps, scale=scale,
+            d_logical=d_logical, nA=nA, ncA=ncA, nC=nC, nE=nE, hg=hg,
+            bkA=bkA, bkB=bkB, ckE=ckE, cdE=cdE, eps=eps, scale=scale,
             has_ffn=has_ffn),
         grid_spec=grid_spec,
         out_shape=[
@@ -423,17 +455,21 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
 
 def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
     """Fast-path eligibility for one decode step (B == 1, bf16 cache)."""
-    if "qkv3" not in layer or "wo3" not in layer:
+    from zgml_tpu.quant.repack import PackedWeight
+    if "wo3" not in layer or not isinstance(layer.get("wqkv"), PackedWeight):
         return False
     if isinstance(cache_k, tuple):       # int8 cache: not yet fused
         return False
-    qkv3: HeadPacked = layer["qkv3"]
+    wqkv: PackedWeight = layer["wqkv"]
     wo3: HeadPacked = layer["wo3"]
-    if qkv3.kind != wo3.kind or qkv3.kind not in ("q4_0", "q8_0"):
+    if wqkv.kind != wo3.kind or wqkv.kind not in ("q4_0", "q8_0"):
         return False
     if cfg.head_dim % QK or cfg.head_dim < QK:
         return False
-    dp = qkv3.qvals.shape[1] * (2 if qkv3.kind == "q4_0" else 1)
+    htot = cfg.n_heads + 2 * cfg.n_kv_heads
+    if wqkv.n_pad < htot * cfg.head_dim:
+        return False
+    dp = wqkv.k_pad
     wo_w = wo3.qvals.shape[2] * (2 if wo3.kind == "q4_0" else 1)
     if wo_w > dp:                # wo accumulator lives in [8, dp] scratch
         return False
@@ -446,17 +482,18 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
 
     Returns (x_out [1, 1, d], k_cur [1, hkv, 1, hd], v_cur, did_ffn) where
     did_ffn says whether the kernel already applied norm2+FFN+residual."""
-    qkv3: HeadPacked = layer["qkv3"]
+    from zgml_tpu.quant.repack import PackedWeight
+    wqkv: PackedWeight = layer["wqkv"]
     wo3: HeadPacked = layer["wo3"]
     hq, hkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     d = cfg.d_model
-    dp = qkv3.qvals.shape[1] * (2 if qkv3.kind == "q4_0" else 1)
+    dp = wqkv.k_pad
     # Whole-layer merge (FFN phases inside this kernel) is OFF by default:
     # measured slower than the attn-block + separate-FFN split at 1B
     # (1.62 vs 1.52 ms/step) — one kernel with every phase's inputs prefetches
     # ~4.5MB of later-phase block-0s before phase A can start.
     pack = layer.get("ffn_q4n")
-    has_ffn = (pack is not None and qkv3.kind == "q4_0"
+    has_ffn = (pack is not None and wqkv.kind == "q4_0"
                and pack["gu_q"].shape[0] == dp
                and os.environ.get("ZGML_TPU_LAYER_FFN", "0") == "1")
     x2d = x.reshape(1, d).astype(jnp.float32)
@@ -478,10 +515,10 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
         dn_q = jnp.zeros((128, dp // 2), jnp.int8)
         ds = jnp.zeros((max(128 // QK, 1), dp), jnp.float32)
     x_out, kcur, vcur = _layer_call(
-        xp, g1, qkv3.qvals, qkv3.scales, cos2, sin2,
+        xp, g1, wqkv.qvals, wqkv.scales, cos2, sin2,
         cache_k.reshape(hkv, s_len, hd), cache_v.reshape(hkv, s_len, hd),
         wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
-        kind=qkv3.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
+        kind=wqkv.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
         s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn)
     x_out = x_out[0:1, :d].reshape(1, 1, d).astype(x.dtype)
     return (x_out,

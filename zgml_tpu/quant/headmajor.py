@@ -181,7 +181,9 @@ def attach_head_major(layer: dict, hq: int, hkv: int, hd: int) -> bool:
         return False
     if wqkv.n_pad < (hq + 2 * hkv) * hd or wqkv.kind != wo.kind:
         return False
-    layer["qkv3"] = head_major_qkv(wqkv, hq, hkv, hd)
+    # wqkv stays PLANAR (the layer kernel regroups heads in-kernel via
+    # static sub-lane slices — no duplicate needed); wo needs the head-major
+    # view because its contraction is per-head
     layer["wo3"] = head_major_wo(wo, hq, hd)
     gu, wd = layer.get("w_gate_up"), layer.get("w_down")
     if (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)

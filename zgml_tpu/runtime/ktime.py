@@ -187,7 +187,7 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     add("decode_attention", f"[kv={kv_len}/{s}]", dt, L, kv_bytes)
 
     # -- fused decode-path kernels (when attached) ---------------------------
-    if batch == 1 and "qkv3" in layer0:
+    if batch == 1 and "wo3" in layer0:
         from zgml_tpu.ops import refs as _refs
         from zgml_tpu.ops.layerkernel import attn_block_step
         cos, sin = _refs.rope_cos_sin(jnp.asarray([kv_len]), hd,
@@ -203,7 +203,7 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
             return x2
 
         dt = time_call(f_ab, x1, layer0, kc, vc, cos2, sin2, reps=reps)
-        ab_bytes = (layer0["qkv3"].nbytes + layer0["wo3"].nbytes + kv_bytes)
+        ab_bytes = (layer0["wqkv"].nbytes + layer0["wo3"].nbytes + kv_bytes)
         if "ffn_q4n" in layer0:          # whole-layer kernel: FFN included
             ab_bytes += sum(v.nbytes for v in layer0["ffn_q4n"].values())
             add("layer(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
