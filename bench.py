@@ -41,9 +41,9 @@ def build_model(path: str, cfg, quant):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="llama2-7b",
-                    choices=["smollm", "tinyllama", "llama2-7b", "tiny"])
+                    choices=["smollm", "tinyllama", "llama2-7b", "llama3-8b", "tiny"])
     ap.add_argument("--quant", default=None, choices=["q8_0", "q4_0"],
-                    help="default: q4_0 for llama2-7b/tinyllama (north star), "
+                    help="default: q4_0 for llama2-7b/llama3-8b/tinyllama, "
                          "q8_0 otherwise")
     ap.add_argument("--pp", type=int, default=128, help="prefill tokens")
     ap.add_argument("--tg", type=int, default=None, help="decode tokens "
@@ -68,9 +68,9 @@ def main():
         args.preset, args.pp, args.tg = "tiny", 16, 8
 
     if args.quant is None:
-        args.quant = "q4_0" if args.preset in ("llama2-7b", "tinyllama") else "q8_0"
+        args.quant = ("q4_0" if args.preset in ("llama2-7b", "llama3-8b", "tinyllama") else "q8_0")
     if args.tg is None:
-        args.tg = 128 if args.preset == "llama2-7b" else 200
+        args.tg = 128 if args.preset in ("llama2-7b", "llama3-8b") else 200
 
     if args.preset == "smollm":
         cfg = dataclasses.replace(synthetic.SMOLLM_135M, tied_lm_head=False,
@@ -79,6 +79,8 @@ def main():
         cfg = dataclasses.replace(synthetic.TINYLLAMA_1_1B, max_seq_len=2048)
     elif args.preset == "llama2-7b":
         cfg = dataclasses.replace(synthetic.LLAMA2_7B, max_seq_len=2048)
+    elif args.preset == "llama3-8b":
+        cfg = dataclasses.replace(synthetic.LLAMA3_8B, max_seq_len=4096)
     else:
         cfg = synthetic.TINY_TEST
     quant = GGMLType.Q8_0 if args.quant == "q8_0" else GGMLType.Q4_0
@@ -134,7 +136,7 @@ def main():
     # The chip is time-shared behind the axon tunnel and throughput varies
     # run-to-run; like llama-bench, take the best of N trials (approximates
     # unloaded performance; stderr shows all trials).
-    trials = 1 if args.smoke else 3
+    trials = 1 if args.smoke else 4
 
     def best_of(fn, n=trials):
         rates = [fn() for _ in range(n)]
@@ -211,7 +213,8 @@ def main():
     else:
         vs_baseline = roof_frac / 0.90
     name = {"smollm": "SmolLM-135M", "tinyllama": "TinyLlama-1.1B",
-            "llama2-7b": "Llama-2-7B", "tiny": "tiny"}[args.preset]
+            "llama2-7b": "Llama-2-7B", "llama3-8b": "Llama-3-8B",
+            "tiny": "tiny"}[args.preset]
     print(json.dumps({
         "metric": f"decode tok/s ({name}-shape {args.quant.upper()}, bs=1, tg{args.tg})",
         "value": round(tg_rate, 2),
