@@ -204,7 +204,10 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
 
         dt = time_call(f_ab, x1, layer0, kc, vc, cos2, sin2, reps=reps)
         ab_bytes = (layer0["wqkv"].nbytes + layer0["wo3"].nbytes + kv_bytes)
-        if "ffn_q4n" in layer0:          # whole-layer kernel: FFN included
+        import os as _os
+        whole = ("ffn_q4n" in layer0
+                 and _os.environ.get("ZGML_TPU_LAYER_FFN", "0") == "1")
+        if whole:                        # whole-layer kernel: FFN included
             ab_bytes += sum(v.nbytes for v in layer0["ffn_q4n"].values())
             add("layer(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
         else:
