@@ -197,3 +197,33 @@ def test_engine_whole_layer_kernel_matches_unfused(tmp_path, monkeypatch):
         a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
         assert cos > 0.999, cos
+
+
+def test_engine_fused_int8_cache_matches_unfused(tmp_path, monkeypatch):
+    """int8-KV decode through the fused layer kernel == the unfused int8
+    path (same quantized cache discipline) to quantization tolerance."""
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.runtime.engine import LlamaEngine
+    from zgml_tpu.utils.synthetic import write_synthetic_llama_gguf
+    cfg = LlamaConfig(vocab_size=96, d_model=256, n_heads=8, n_kv_heads=2,
+                      d_ff=192, n_layers=2, max_seq_len=96)
+    path = tmp_path / "m.gguf"
+    write_synthetic_llama_gguf(str(path), cfg, GGMLType.Q4_0, seed=13)
+    model, _ = load_llama(str(path), mode="quantized")
+
+    toks = [3, 1, 4, 1, 5, 9]
+
+    def logits_pair(env_val):
+        monkeypatch.setenv("ZGML_TPU_ATTN_BLOCK", env_val)
+        eng = LlamaEngine(model, cache_dtype="int8", donate_cache=False)
+        eng.prefill(toks)
+        _, l1 = eng.step(np.array([7]))
+        _, l2 = eng.step(np.array([8]))
+        return np.asarray(l1).ravel(), np.asarray(l2).ravel()
+
+    f1, f2 = logits_pair("1")
+    u1, u2 = logits_pair("0")
+    for a, b in ((f1, u1), (f2, u2)):
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.995, cos

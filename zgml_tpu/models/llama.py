@@ -197,10 +197,20 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             s2 = jnp.concatenate([-sin, sin], -1).reshape(1, 2 * half)
             x2, k_cur, v_cur, did_ffn = attn_block_step(
                 cfg, layer, x, cache_k, cache_v, pos, c2, s2)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k_cur.astype(cache_k.dtype), (0, 0, pos, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v_cur.astype(cache_v.dtype), (0, 0, pos, 0))
+            if isinstance(cache_k, tuple):
+                from zgml_tpu.quant.kv_cache import (quantize_columns,
+                                                     write_columns)
+                kq_n, ks_n = quantize_columns(k_cur)
+                vq_n, vs_n = quantize_columns(v_cur)
+                cache_k = write_columns(cache_k[0], cache_k[1],
+                                        kq_n, ks_n, pos)
+                cache_v = write_columns(cache_v[0], cache_v[1],
+                                        vq_n, vs_n, pos)
+            else:
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, k_cur.astype(cache_k.dtype), (0, 0, pos, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, v_cur.astype(cache_v.dtype), (0, 0, pos, 0))
             x = x2.astype(x.dtype)
             if did_ffn:      # whole layer ran inside the one kernel
                 return x, cache_k, cache_v

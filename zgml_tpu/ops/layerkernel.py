@@ -84,16 +84,18 @@ def _layer_kernel(
         xlo_ref, xhi_ref, g1lo_ref, g1hi_ref,     # A-phase tiles
         qkv_ref, qslo_ref, qshi_ref,              # head-major wqkv
         cos_ref, sin_ref,                         # [1, hd] rope consts
-        ck_ref, cv_ref,                           # cache blocks [hkv, bkB, hd]
+        ck_ref, cks_ref, cv_ref, cvs_ref,         # cache blocks (+int8 scales)
         wo_ref, wos_ref,                          # head-group wo3 blocks
         g2_ref, gu_ref, gs_ref, us_ref,           # FFN (dummies if !has_ffn)
         dn_ref, ds_ref,
         xout_ref, kcur_ref, vcur_ref,             # outputs
-        inv_scr, accq_scr, q2_scr, kv2_scr, m_scr, l_scr, acc_scr,
+        inv_scr, accq_scr, q2_scr, kv2_scr, qq_scr, qs_scr,
+        m_scr, l_scr, acc_scr,
         att_scr, accwo_scr, x2_scr, xn2_scr,
         *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
         nA: int, ncA: int, nC: int, nE: int, hg: int, bkA: int, bkB: int,
-        ckE: int, cdE: int, eps: float, scale: float, has_ffn: bool):
+        ckE: int, cdE: int, eps: float, scale: float, has_ffn: bool,
+        kv_i8: bool):
     i = pl.program_id(0)
     pos = sref[0]
     n_b = sref[1]
@@ -152,15 +154,36 @@ def _layer_kernel(
         kc = kv2_scr[:hkv, :]
         kcur_ref[:] = kc * cos + pltpu.roll(kc, hd // 2, 1) * sin
         vcur_ref[:] = kv2_scr[hkv:, :]
+        if kv_i8:
+            # pre-quantize Q once (ggml attentionQuantized discipline) so
+            # the B phase runs int8 x int8 on the MXU; per-(head) scale
+            qf = q2_scr[:]
+            amax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+            qsc = amax / 127.0
+            qinv = jnp.where(qsc > 0, 1.0 / jnp.where(qsc > 0, qsc, 1.0), 0.0)
+            qs_scr[:, :1] = qsc
+            qq_scr[:] = jnp.clip(jnp.round(qf * qinv), -127,
+                                 127).astype(jnp.int8)
 
     # -- phase B: flash attention over the cache prefix ---------------------
     @pl.when((i >= a_end) & (i < b_end))
     def _():
         kb = i - a_end
-        q3 = q2_scr[:].reshape(hkv, nr, hd)
-        k = ck_ref[:].astype(jnp.float32)            # [hkv, bkB, hd]
-        s = jax.lax.dot_general(q3, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
+        if kv_i8:
+            # scores in the integer domain: per-position scales factor out
+            qq3 = qq_scr[:].reshape(hkv, nr, hd)
+            qs3 = qs_scr[:, :1].reshape(hkv, nr, 1)
+            p_i32 = jax.lax.dot_general(
+                qq3, ck_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)    # [hkv, nr, bkB]
+            ks = cks_ref[0]                          # [hkv, bkB]
+            s = p_i32.astype(jnp.float32) * (qs3 * ks[:, None, :]) * scale
+        else:
+            q3 = q2_scr[:].reshape(hkv, nr, hd)
+            k = ck_ref[:].astype(jnp.float32)        # [hkv, bkB, hd]
+            s = jax.lax.dot_general(
+                q3, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
         ki = jax.lax.broadcasted_iota(jnp.int32, (hkv, nr, bkB), 2) + kb * bkB
         s = jnp.where(ki < pos, s, NEG_INF)
         m_prev = m_scr[:, :, :1]
@@ -170,9 +193,17 @@ def _layer_kernel(
         l_scr[:, :, :1] = l_scr[:, :, :1] * alpha + jnp.sum(
             p, axis=2, keepdims=True)
         m_scr[:, :, :1] = m_new
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, cv_ref[:].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        if kv_i8:
+            # fold the per-position V scales into p, promote int8 V in-dot
+            pv = p * cvs_ref[0][:, None, :]
+            upd = jax.lax.dot_general(
+                pv, cv_ref[:].astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        else:
+            upd = jax.lax.dot_general(
+                p, cv_ref[:].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * alpha + upd
 
     # -- B epilogue (first C step): self column + normalize -----------------
     @pl.when(i == b_end)
@@ -279,11 +310,12 @@ def _choose(total: int, limit: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "hq", "hkv", "hd", "d_logical", "s_len",
-                     "eps", "dp", "has_ffn"))
-def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
-                g2, gu_q, gs, us, dn_q, ds, pos,
+                     "eps", "dp", "has_ffn", "kv_i8"))
+def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
+                wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds, pos,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
-                s_len: int, eps: float, dp: int, has_ffn: bool):
+                s_len: int, eps: float, dp: int, has_ffn: bool,
+                kv_i8: bool = False):
     """x [8, dp] f32 (row 0 live); PLANAR wqkv, head-major wo3, N-packed FFN;
     ck/cv [hkv, S, hd]. Returns (x_out [8, dp], kcur, vcur [hkv, hd])."""
     htot = hq + 2 * hkv
@@ -299,7 +331,8 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
 
     def vmem_est(bkb, hg, bfE, nca):
         qkv = (bkA * n_qkv + 2 * max(bkA // QK, 8) * n_qkv * 4) // nca
-        cache = 2 * hkv * bkb * hd * 2
+        cache = 2 * hkv * bkb * hd * (1 if kv_i8 else 2) \
+            + (2 * hkv * bkb * 4 if kv_i8 else 0)
         wo = hg * wk_rows * dwp + hg * (hd // QK) * dp * 4
         ffn = (dp * bfE + bfE * (dp // 2) + 2 * (dp // QK) * bfE * 4
                + max(bfE // QK, 8) * dp * 4) if has_ffn else 0
@@ -382,6 +415,12 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
     def kvm(i, s):
         return (0, jnp.clip(i - a_steps, 0, s[1] - 1), 0)
 
+    def kvm8(i, s):
+        return (0, 0, jnp.clip(i - a_steps, 0, s[1] - 1))
+
+    def ksm8(i, s):
+        return (0, 0, jnp.clip(i - a_steps, 0, s[1] - 1))
+
     def cgm(i, s):
         return jnp.clip(i - a_steps - s[1], 0, nC - 1)
 
@@ -403,8 +442,17 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
             pl.BlockSpec((nsA, ncw), wqs_hi),
             pl.BlockSpec((1, hd), lambda i, s: (0, 0)),          # cos2
             pl.BlockSpec((1, hd), lambda i, s: (0, 0)),          # sin2
+        ] + ([
+            pl.BlockSpec((hkv, hd, bkB), kvm8),                  # ck int8
+            pl.BlockSpec((1, hkv, bkB), ksm8),                   # k scales
+            pl.BlockSpec((hkv, hd, bkB), kvm8),                  # cv int8
+            pl.BlockSpec((1, hkv, bkB), ksm8),                   # v scales
+        ] if kv_i8 else [
             pl.BlockSpec((hkv, bkB, hd), kvm),                   # ck
+            pl.BlockSpec((1, hkv, 128), lambda i, s: (0, 0, 0)),
             pl.BlockSpec((hkv, bkB, hd), kvm),                   # cv
+            pl.BlockSpec((1, hkv, 128), lambda i, s: (0, 0, 0)),
+        ]) + [
             pl.BlockSpec((hg, wk_rows, dwp),
                          lambda i, s: (cgm(i, s), 0, 0)),        # wo3
             pl.BlockSpec((hg, hd // QK, wo_s.shape[2]),
@@ -427,6 +475,8 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
             pltpu.VMEM((8, n_qkv), jnp.float32),                 # acc qkv flat
             pltpu.VMEM((hq, hd), jnp.float32),                   # q heads
             pltpu.VMEM((2 * hkv, hd), jnp.float32),              # k/v cur
+            pltpu.VMEM((hq, hd), jnp.int8),                      # q int8
+            pltpu.VMEM((hq, 128), jnp.float32),                  # q scales
             pltpu.VMEM((hkv, hq // hkv, 128), jnp.float32),      # m
             pltpu.VMEM((hkv, hq // hkv, 128), jnp.float32),      # l
             pltpu.VMEM((hkv, hq // hkv, hd), jnp.float32),       # acc att
@@ -441,7 +491,7 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
             _layer_kernel, kind=kind, hq=hq, hkv=hkv, hd=hd,
             d_logical=d_logical, nA=nA, ncA=ncA, nC=nC, nE=nE, hg=hg,
             bkA=bkA, bkB=bkB, ckE=ckE, cdE=cdE, eps=eps, scale=scale,
-            has_ffn=has_ffn),
+            has_ffn=has_ffn, kv_i8=kv_i8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, dp), jnp.float32),
@@ -449,8 +499,8 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cv, wo_q, wo_s,
             jax.ShapeDtypeStruct((hkv, hd), jnp.float32),
         ],
         interpret=_interpret(),
-    )(sarr, x, g1, x, x, g1, g1, qkv_q, qkv_s, qkv_s, cos2, sin2, ck, cv,
-      wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds)
+    )(sarr, x, g1, x, x, g1, g1, qkv_q, qkv_s, qkv_s, cos2, sin2,
+      ck, cks, cv, cvs, wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds)
 
 
 def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
@@ -458,8 +508,10 @@ def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
     from zgml_tpu.quant.repack import PackedWeight
     if "wo3" not in layer or not isinstance(layer.get("wqkv"), PackedWeight):
         return False
-    if isinstance(cache_k, tuple):       # int8 cache: not yet fused
-        return False
+    if isinstance(cache_k, tuple):
+        # int8 cache: fused path needs the d-major whole-head-scale layout
+        if cache_k[0].shape[2] != cfg.head_dim:
+            return False
     wqkv: PackedWeight = layer["wqkv"]
     wo3: HeadPacked = layer["wo3"]
     if wqkv.kind != wo3.kind or wqkv.kind not in ("q4_0", "q8_0"):
@@ -504,7 +556,21 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
     g2 = (jnp.pad(g2_raw.reshape(1, d).astype(jnp.float32),
                   ((0, 0), (0, dp - d)))
           if g2_raw is not None else jnp.zeros((1, dp), jnp.float32))
-    s_len = cache_k.shape[2]
+    kv_i8 = isinstance(cache_k, tuple)
+    if kv_i8:
+        kq, ksc = cache_k
+        vq, vsc = cache_v
+        s_len = kq.shape[3]
+        ck = kq.reshape(hkv, hd, s_len)
+        cks = ksc.reshape(1, hkv, s_len)
+        cv = vq.reshape(hkv, hd, s_len)
+        cvs = vsc.reshape(1, hkv, s_len)
+    else:
+        s_len = cache_k.shape[2]
+        ck = cache_k.reshape(hkv, s_len, hd)
+        cks = jnp.zeros((1, hkv, 128), jnp.float32)
+        cv = cache_v.reshape(hkv, s_len, hd)
+        cvs = cks
     if has_ffn:
         gu_q, gs, us = pack["gu_q"], pack["gs"], pack["us"]
         dn_q, ds = pack["dn_q"], pack["ds"]
@@ -516,10 +582,11 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
         ds = jnp.zeros((max(128 // QK, 1), dp), jnp.float32)
     x_out, kcur, vcur = _layer_call(
         xp, g1, wqkv.qvals, wqkv.scales, cos2, sin2,
-        cache_k.reshape(hkv, s_len, hd), cache_v.reshape(hkv, s_len, hd),
+        ck, cks, cv, cvs,
         wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
         kind=wqkv.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
-        s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn)
+        s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn,
+        kv_i8=kv_i8)
     x_out = x_out[0:1, :d].reshape(1, 1, d).astype(x.dtype)
     return (x_out,
             kcur.reshape(1, hkv, 1, hd),
