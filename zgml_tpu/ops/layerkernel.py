@@ -347,8 +347,9 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
     # (est 11MB compiled to 20.3MB on a 7B-MHA shape: ~1.8x undercount)
     budget = 6 << 20
     bkB, hg, bfE, ncA = 256, hq, 512, 1
+    bkB_floor = 128 if kv_i8 else 64    # int8 cache: S is the LANE axis
     for _ in range(14):
-        bkB_e = _choose(s_len, bkB, 8)
+        bkB_e = _choose(s_len, bkB, 128 if kv_i8 else 8)
         hg_e = hg
         while hq % hg_e:
             hg_e -= 1
@@ -363,13 +364,13 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
         if (big == "A" and ncA < 4
                 and (n_qkv // (2 * ncA)) % 128 == 0):
             ncA *= 2
-        elif big == "B" and bkB_e > 64:
+        elif big == "B" and bkB_e > bkB_floor:
             bkB = bkB_e // 2
         elif big == "C" and hg_e > 1:
             hg = max(1, hg_e // 2)
         elif big == "E" and bfE_e > 256:     # ds tile needs >=8 sublanes
             bfE = bfE_e // 2
-        elif bkB_e > 64:
+        elif bkB_e > bkB_floor:
             bkB = bkB_e // 2
         else:
             break
