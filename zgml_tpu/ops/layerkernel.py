@@ -357,7 +357,7 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
         if vmem_est(bkB_e, hg_e, bfE_e, ncA) <= budget:
             break
         costs = {"A": (bkA * n_qkv) // ncA,
-                 "B": 4 * hkv * bkB_e * hd,
+                 "B": 2 * hkv * bkB_e * hd * (1 if kv_i8 else 2),
                  "C": hg_e * wk_rows * dwp,
                  "E": (dp * bfE_e + bfE_e * dp // 2) if has_ffn else 0}
         big = max(costs, key=costs.get)
