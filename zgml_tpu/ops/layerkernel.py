@@ -7,12 +7,23 @@ shapes the projections alone ran at ~430 GB/s in-step vs ~650 isolated. One
 call per layer keeps the whole weight stream inside a single pipelined grid.
 
 Structure (flat phase grid, one pass):
-  phase A (nA static steps)   : per K-tile batched-by-head dequant dot
-                                accq[Htot, 8, hd] += xn_tile @ wqkv3_tile
-                                (xn = rmsnorm(x)*g applied per tile; the row
-                                inverse-rms is computed once at step 0)
-  A epilogue                  : RoPE(q, k_cur) via lane roll; emit k_cur/v_cur
+  phase A (ncA*nA static steps): PLANAR per-K-tile dequant dot into a flat
+                                accumulator accq[8, n_qkv] (rmsnorm applied
+                                per tile via a step-0 row inverse-rms). For
+                                large models the A phase runs int8 x int8
+                                segmented MXU dots instead (a_i8: the norm +
+                                per-32-block activation quantization happen
+                                OUTSIDE, ggml vec-dot discipline). ncA > 1
+                                splits output columns into static sub-phases
+                                to fit VMEM at MHA scale.
+  A epilogue                  : regroup heads via static sub-128-lane slices
+                                (Mosaic can slice lanes statically but cannot
+                                unfold [1, H*hd] -> [H, hd]; both verified on
+                                hardware), RoPE via lane roll, emit k/v_cur
   phase B (dyn ceil(pos/bkB)) : online-softmax flash over the cache prefix
+                                (bf16 cache, or int8 with Q pre-quantized at
+                                the A epilogue and per-position scales
+                                factored out of both integer dots)
   B epilogue (first C step)   : self-attention column (current token's K/V
                                 straight from registers — the cache write
                                 happens OUTSIDE, in parallel), normalize
@@ -25,12 +36,8 @@ Structure (flat phase grid, one pass):
                                 F-tile gate|up dots + SwiGLU + down partials)
   final epilogue              : x_out = x2 (+ ffn accumulator)
 
-Head-major weights (quant/headmajor.py) make the projections batched MXU dots
-so q lands as [heads, m, hd] directly — Mosaic cannot unfold a flat [1, H*hd]
-row into [H, hd] in-kernel (verified unsupported on hardware).
-
-Q4_0: wqkv3 keeps the per-column K-half-split (two x feeds per tile); wo3 and
-the FFN's down pack the nibble pair along the OUTPUT axis (two static
+Q4_0: the planar wqkv keeps its global K-half-split (two x feeds per tile);
+wo3 and the FFN's down pack the nibble pair along the OUTPUT axis (two static
 half-width accumulator updates) because a K-split would mix heads inside one
 byte; the FFN's gate|up pair shares one byte (quant/headmajor.ffn_npack).
 
@@ -81,8 +88,8 @@ def _dequant(w_ref, s_lo_ref, s_hi_ref, kind):
 def _layer_kernel(
         sref,                                     # [2] i32: pos, n_b
         xfull_ref, g1full_ref,                    # [8, dp], [1, dp]
-        xlo_ref, xhi_ref, g1lo_ref, g1hi_ref,     # A-phase tiles
-        qkv_ref, qslo_ref, qshi_ref,              # head-major wqkv
+        a1_ref, a2_ref, a3_ref, a4_ref, a5_ref, a6_ref,   # A-phase tiles
+        qkv_ref, qslo_ref, qshi_ref,              # planar wqkv (2D or i8 3D)
         cos_ref, sin_ref,                         # [1, hd] rope consts
         ck_ref, cks_ref, cv_ref, cvs_ref,         # cache blocks (+int8 scales)
         wo_ref, wos_ref,                          # head-group wo3 blocks
@@ -95,7 +102,7 @@ def _layer_kernel(
         *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
         nA: int, ncA: int, nC: int, nE: int, hg: int, bkA: int, bkB: int,
         ckE: int, cdE: int, eps: float, scale: float, has_ffn: bool,
-        kv_i8: bool):
+        kv_i8: bool, a_i8: bool):
     i = pl.program_id(0)
     pos = sref[0]
     n_b = sref[1]
@@ -109,9 +116,10 @@ def _layer_kernel(
 
     @pl.when(i == 0)
     def _():
-        x = xfull_ref[:]
-        ms = jnp.sum(x * x, axis=1, keepdims=True) * (1.0 / d_logical)
-        inv_scr[:, :1] = jax.lax.rsqrt(ms + eps)
+        if not a_i8:
+            x = xfull_ref[:]
+            ms = jnp.sum(x * x, axis=1, keepdims=True) * (1.0 / d_logical)
+            inv_scr[:, :1] = jax.lax.rsqrt(ms + eps)
         accq_scr[:] = jnp.zeros_like(accq_scr)
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
@@ -122,18 +130,61 @@ def _layer_kernel(
     # ncA > 1 splits the weight's output columns into static sub-phases
     # (col group `col` runs steps [col*nA, (col+1)*nA)) so the accumulator
     # slice stays static while the per-step block shrinks ncA-fold (VMEM)
-    ncw = qkv_ref.shape[1]                           # n_qkv // ncA
+    ncw = qkv_ref.shape[-1]                          # n_qkv // ncA
     for col in range(ncA):
         @pl.when((i >= col * nA) & (i < (col + 1) * nA))
         def _(col=col):
-            inv = inv_scr[:, :1]                     # [8, 1]
-            wlo, whi = _dequant(qkv_ref, qslo_ref, qshi_ref, kind)
-            xlo = xlo_ref[:] * inv * g1lo_ref[:]     # [8, bkA]
-            part = jnp.dot(xlo, wlo, preferred_element_type=jnp.float32)
-            if whi is not None:
-                xhi = xhi_ref[:] * inv * g1hi_ref[:]
-                part = part + jnp.dot(xhi, whi,
-                                      preferred_element_type=jnp.float32)
+            if a_i8:
+                # ggml vec-dot discipline on the MXU: activations quantized
+                # per-32-block OUTSIDE (with the rmsnorm folded in), int8
+                # segmented dots, per-block scale fixup on int32 partials
+                dn = (((2,), (1,)), ((0,), (0,)))
+                if is_q4:
+                    v32 = pltpu.bitcast(qkv_ref[:], jnp.int32)
+                    msk = jnp.full(v32.shape, 0x0F0F0F0F, jnp.int32)
+                    wlo = pltpu.bitcast(v32 & msk, jnp.int8)
+                    whi = pltpu.bitcast(
+                        jax.lax.shift_right_logical(
+                            v32, jnp.full(v32.shape, 4, jnp.int32)) & msk,
+                        jnp.int8)
+                    plo = jax.lax.dot_general(
+                        a1_ref[:], wlo, dn,
+                        preferred_element_type=jnp.int32)
+                    phi = jax.lax.dot_general(
+                        a2_ref[:], whi, dn,
+                        preferred_element_type=jnp.int32)
+                    slo, shi = qslo_ref[:], qshi_ref[:]     # [nbkA, ncw]
+                    part = (jnp.sum(plo.astype(jnp.float32)
+                                    * (a3_ref[:][:, :, None]
+                                       * slo[:, None, :]), axis=0)
+                            + jnp.sum(phi.astype(jnp.float32)
+                                      * (a4_ref[:][:, :, None]
+                                         * shi[:, None, :]), axis=0))
+                    # fold out the nibble -8 offset via activation block sums
+                    alo = (a3_ref[:] * a5_ref[:].astype(jnp.float32) * 8.0).T
+                    ahi = (a4_ref[:] * a6_ref[:].astype(jnp.float32) * 8.0).T
+                    part = part - (
+                        jnp.dot(alo, slo, preferred_element_type=jnp.float32)
+                        + jnp.dot(ahi, shi,
+                                  preferred_element_type=jnp.float32))
+                else:
+                    pq = jax.lax.dot_general(
+                        a1_ref[:], qkv_ref[:], dn,
+                        preferred_element_type=jnp.int32)
+                    part = jnp.sum(
+                        pq.astype(jnp.float32)
+                        * (a3_ref[:][:, :, None] * qslo_ref[:][:, None, :]),
+                        axis=0)
+            else:
+                inv = inv_scr[:, :1]                 # [8, 1]
+                wlo, whi = _dequant(qkv_ref, qslo_ref, qshi_ref, kind)
+                xlo = a1_ref[:] * inv * a3_ref[:]    # [8, bkA]
+                part = jnp.dot(xlo, wlo,
+                               preferred_element_type=jnp.float32)
+                if whi is not None:
+                    xhi = a2_ref[:] * inv * a4_ref[:]
+                    part = part + jnp.dot(
+                        xhi, whi, preferred_element_type=jnp.float32)
             accq_scr[:, col * ncw:(col + 1) * ncw] += part
 
     # -- A epilogue: regroup heads (static sub-lane slices), rope, emit K/V -
@@ -300,6 +351,10 @@ def _layer_kernel(
             xout_ref[:] = xfull_ref[:] + accwo_scr[:]
 
 
+def _dummy_a2(nsa: int):
+    return jnp.zeros((nsa, 8), jnp.float32)
+
+
 def _choose(total: int, limit: int, mult: int) -> int:
     for cand in range(min(limit, total) // mult * mult, 0, -mult):
         if total % cand == 0:
@@ -310,17 +365,19 @@ def _choose(total: int, limit: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "hq", "hkv", "hd", "d_logical", "s_len",
-                     "eps", "dp", "has_ffn", "kv_i8"))
-def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
+                     "eps", "dp", "has_ffn", "kv_i8", "a_i8"))
+def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
+                ck, cks, cv, cvs,
                 wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds, pos,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
                 s_len: int, eps: float, dp: int, has_ffn: bool,
-                kv_i8: bool = False):
+                kv_i8: bool = False, a_i8: bool = False):
     """x [8, dp] f32 (row 0 live); PLANAR wqkv, head-major wo3, N-packed FFN;
     ck/cv [hkv, S, hd]. Returns (x_out [8, dp], kcur, vcur [hkv, hd])."""
     htot = hq + 2 * hkv
-    kq = qkv_q.shape[0]                  # planar packed K rows (Kp or Kp/2)
-    n_qkv = qkv_q.shape[1]               # padded out cols
+    # planar packed K rows (Kp or Kp/2); a_i8 passes a [rows/32, 32, n] view
+    kq = qkv_q.shape[0] * (QK if qkv_q.ndim == 3 else 1)
+    n_qkv = qkv_q.shape[-1]              # padded out cols
     wk_rows = wo_q.shape[1]              # hd
     dwp = wo_q.shape[2]                  # dp (q8) or dp/2 (q4)
     is_q4 = kind == "q4_0"
@@ -401,6 +458,18 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
     def xa_hi(i, s):
         return (0, _rowcol(i)[0] + (nA if is_q4 else 0))
 
+    def xa3_lo(i, s):
+        return (_rowcol(i)[0], 0, 0)
+
+    def xa3_hi(i, s):
+        return (_rowcol(i)[0] + (nA if is_q4 else 0), 0, 0)
+
+    def xa2_lo(i, s):
+        return (_rowcol(i)[0], 0)
+
+    def xa2_hi(i, s):
+        return (_rowcol(i)[0] + (nA if is_q4 else 0), 0)
+
     def wqm(i, s):
         row, col = _rowcol(i)
         return (row, col)
@@ -434,11 +503,25 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
         in_specs=[
             pl.BlockSpec((8, dp), lambda i, s: (0, 0)),          # xfull
             pl.BlockSpec((1, dp), lambda i, s: (0, 0)),          # g1 full
+        ] + ([
+            pl.BlockSpec((nsA, 8, QK), xa3_lo),                  # xq lo
+            pl.BlockSpec((nsA, 8, QK), xa3_hi),                  # xq hi
+            pl.BlockSpec((nsA, 8), xa2_lo),                      # xs lo
+            pl.BlockSpec((nsA, 8), xa2_hi),                      # xs hi
+            pl.BlockSpec((nsA, 8), xa2_lo),                      # xsum lo
+            pl.BlockSpec((nsA, 8), xa2_hi),                      # xsum hi
+            pl.BlockSpec((nsA, QK, ncw),
+                         lambda i, s: (_rowcol(i)[0], 0,
+                                       _rowcol(i)[1])),          # w3 blocked
+        ] if a_i8 else [
             pl.BlockSpec((8, bkA), xa_lo),                       # x A lo
             pl.BlockSpec((8, bkA), xa_hi),                       # x A hi
             pl.BlockSpec((1, bkA), xa_lo),                       # g1 A lo
             pl.BlockSpec((1, bkA), xa_hi),                       # g1 A hi
+            pl.BlockSpec((nsA, 8), lambda i, s: (0, 0)),         # dummy
+            pl.BlockSpec((nsA, 8), lambda i, s: (0, 0)),         # dummy
             pl.BlockSpec((bkA, ncw), wqm),
+        ]) + [
             pl.BlockSpec((nsA, ncw), wqs_lo),
             pl.BlockSpec((nsA, ncw), wqs_hi),
             pl.BlockSpec((1, hd), lambda i, s: (0, 0)),          # cos2
@@ -492,7 +575,7 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
             _layer_kernel, kind=kind, hq=hq, hkv=hkv, hd=hd,
             d_logical=d_logical, nA=nA, ncA=ncA, nC=nC, nE=nE, hg=hg,
             bkA=bkA, bkB=bkB, ckE=ckE, cdE=cdE, eps=eps, scale=scale,
-            has_ffn=has_ffn, kv_i8=kv_i8),
+            has_ffn=has_ffn, kv_i8=kv_i8, a_i8=a_i8),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, dp), jnp.float32),
@@ -500,7 +583,10 @@ def _layer_call(x, g1, qkv_q, qkv_s, cos2, sin2, ck, cks, cv, cvs,
             jax.ShapeDtypeStruct((hkv, hd), jnp.float32),
         ],
         interpret=_interpret(),
-    )(sarr, x, g1, x, x, g1, g1, qkv_q, qkv_s, qkv_s, cos2, sin2,
+    )(sarr, x, g1,
+      *((xq_t, xq_t, xs_t, xs_t, xsum_t, xsum_t, qkv_q) if a_i8
+        else (x, x, g1, g1, _dummy_a2(nsA), _dummy_a2(nsA), qkv_q)),
+      qkv_s, qkv_s, cos2, sin2,
       ck, cks, cv, cvs, wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds)
 
 
@@ -557,6 +643,33 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
     g2 = (jnp.pad(g2_raw.reshape(1, d).astype(jnp.float32),
                   ((0, 0), (0, dp - d)))
           if g2_raw is not None else jnp.zeros((1, dp), jnp.float32))
+    # int8 A phase wins where the QKV weight is big enough that the f32
+    # dequant VPU work shows (7B-class: +2.5% step; 1B: noise-level loss)
+    a_i8_default = "1" if dp >= 4096 else "0"
+    a_i8 = (os.environ.get("ZGML_TPU_ATTN_I8A", a_i8_default) != "0"
+            and dp % QK == 0)
+    if a_i8:
+        # rmsnorm + per-32-block activation quantization OUTSIDE the kernel
+        # (the int8 A phase is the ggml vec-dot tier; trading the norm
+        # fusion for MXU-int8 projections wins at every measured scale)
+        from zgml_tpu.ops.qmatmul import _quantize_act
+        ms = jnp.sum(x2d * x2d, axis=1, keepdims=True) * (1.0 / d)
+        xn = x2d * jax.lax.rsqrt(ms + cfg.rms_norm_eps) \
+            * layer["attn_norm"].reshape(1, d).astype(jnp.float32)
+        xn_p = jnp.pad(xn, ((0, 7), (0, dp - d)))
+        xq, xs = _quantize_act(xn_p)
+        nbk = dp // QK
+        xq_t = xq.reshape(8, nbk, QK).transpose(1, 0, 2)
+        xs_t = xs.T.astype(jnp.float32)
+        xsum_t = jnp.sum(xq_t.astype(jnp.int32), axis=2)
+        qkv_pass = wqkv.qvals.reshape(
+            wqkv.qvals.shape[0] // QK, QK, wqkv.qvals.shape[1])
+    else:
+        nbk = dp // QK
+        xq_t = jnp.zeros((nbk, 8, QK), jnp.int8)
+        xs_t = jnp.zeros((nbk, 8), jnp.float32)
+        xsum_t = jnp.zeros((nbk, 8), jnp.int32)
+        qkv_pass = wqkv.qvals
     kv_i8 = isinstance(cache_k, tuple)
     if kv_i8:
         kq, ksc = cache_k
@@ -582,12 +695,12 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
         dn_q = jnp.zeros((128, dp // 2), jnp.int8)
         ds = jnp.zeros((max(128 // QK, 1), dp), jnp.float32)
     x_out, kcur, vcur = _layer_call(
-        xp, g1, wqkv.qvals, wqkv.scales, cos2, sin2,
+        xp, g1, xq_t, xs_t, xsum_t, qkv_pass, wqkv.scales, cos2, sin2,
         ck, cks, cv, cvs,
         wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
         kind=wqkv.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
         s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn,
-        kv_i8=kv_i8)
+        kv_i8=kv_i8, a_i8=a_i8)
     x_out = x_out[0:1, :d].reshape(1, 1, d).astype(x.dtype)
     return (x_out,
             kcur.reshape(1, hkv, 1, hd),
