@@ -413,22 +413,19 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
         bfE_e = _choose(fp, bfE, 256) if has_ffn else 0
         if vmem_est(bkB_e, hg_e, bfE_e, ncA) <= budget:
             break
-        costs = {"A": (bkA * n_qkv) // ncA,
-                 "B": 2 * hkv * bkB_e * hd * (1 if kv_i8 else 2),
-                 "C": hg_e * wk_rows * dwp,
-                 "E": (dp * bfE_e + bfE_e * dp // 2) if has_ffn else 0}
-        big = max(costs, key=costs.get)
-        if (big == "A" and ncA < 4
-                and (n_qkv // (2 * ncA)) % 128 == 0):
+        # shrink the FIXED-cost phases first: the B phase's work scales with
+        # the live context, so starving its block (narrow KV DMAs, more
+        # steps) hurts long-context decode the most
+        if ncA < 4 and (n_qkv // (2 * ncA)) % 128 == 0:
             ncA *= 2
-        elif big == "B" and bkB_e > bkB_floor:
-            bkB = bkB_e // 2
-        elif big == "C" and hg_e > 1:
+        elif hg_e > max(1, hq // 8):         # keep C at <= 8 steps first
             hg = max(1, hg_e // 2)
-        elif big == "E" and bfE_e > 256:     # ds tile needs >=8 sublanes
+        elif has_ffn and bfE_e > 256:        # ds tile needs >=8 sublanes
             bfE = bfE_e // 2
         elif bkB_e > bkB_floor:
             bkB = bkB_e // 2
+        elif hg_e > 1:                       # last resort
+            hg = max(1, hg_e // 2)
         else:
             break
     bkB, hg = bkB_e, hg_e
