@@ -167,3 +167,31 @@ def test_quantized_q4_close_to_dense(tmp_path):
     b = np.asarray(lq[:, -1]).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos >= 0.999, cos  # dense is the dequantized q4 -> near-exact
+
+
+def test_post_hoc_quantize_matches_dense():
+    """model.quantize() (ref: session.quantize, llama_inference.zig:189-231):
+    dense-loaded model quantized in place tracks the dense outputs."""
+    import tempfile, os
+    import numpy as np
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.runtime.engine import LlamaEngine
+    from zgml_tpu.utils.synthetic import TINY_TEST, write_synthetic_llama_gguf
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "m.gguf")
+        write_synthetic_llama_gguf(path, TINY_TEST, GGMLType.F32, seed=21)
+        dense, _ = load_llama(path, mode="dense")
+        toks = [3, 1, 4, 1, 5]
+        ed = LlamaEngine(dense, donate_cache=False)
+        ld = np.asarray(ed.prefill(toks)).ravel()
+
+        qmodel, _ = load_llama(path, mode="dense")
+        qmodel.quantize("q8_0")
+        from zgml_tpu.quant.repack import PackedWeight
+        l0 = qmodel.params["layers"][0]
+        assert any(isinstance(v, PackedWeight) for v in l0.values())
+        eq = LlamaEngine(qmodel, donate_cache=False)
+        lq = np.asarray(eq.prefill(toks)).ravel()
+        cos = float(ld @ lq / (np.linalg.norm(ld) * np.linalg.norm(lq) + 1e-9))
+        assert cos > 0.99, cos

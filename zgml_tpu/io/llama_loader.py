@@ -197,3 +197,57 @@ def load_llama(path: str, mode: str = "quantized",
     if not cfg.tied_lm_head:
         params["lm_head"] = _load_matmul(gf, "output.weight", mode, dtype)
     return LlamaModel(cfg, params), gf
+
+
+def quantize_llama_params(params: dict, kind: str = "q8_0") -> dict:
+    """Post-hoc weight quantization of a dense-loaded llama (the reference's
+    `session.quantize(block)`, llama_inference.zig:189-231): every matmul
+    weight becomes a PackedWeight in the TPU planar layout; norms, embeddings
+    and biases stay f32 (the reference also keeps those dense,
+    gguf_loader.zig:171-204). Fused QKV/gate-up stay fused: the dense fused
+    [K, N] leaf quantizes column-section by column-section so the packed
+    result keeps the concat_packed layout contract (incl. the FFN megakernel
+    part padding). Head-major views are re-derived afterwards.
+
+    Works on host (numpy); device params are fetched once. Returns a NEW
+    params dict (unrolled per-layer list layout only).
+    """
+    from zgml_tpu.quant.repack import concat_packed, quantize_weight
+
+    def q(leaf, n_align=None):
+        w = np.asarray(leaf).T  # dense leaves are K-major [K, N] -> [N, K]
+        kw = {"n_align": 1} if n_align else {}
+        return quantize_weight(np.ascontiguousarray(w), kind, **kw)
+
+    layers = params.get("layers")
+    if not isinstance(layers, (list, tuple)):
+        raise ValueError("quantize_llama_params expects unrolled layers")
+    out = dict(params)
+    new_layers = []
+    for layer in layers:
+        nl = dict(layer)
+        for key in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            if key in nl and not hasattr(nl[key], "qvals"):
+                nl[key] = q(nl[key])
+        if "wqkv" in nl and not hasattr(nl["wqkv"], "qvals"):
+            # re-fuse per section so column offsets stay head-major-sliceable
+            w = np.asarray(nl["wqkv"])                     # [K, Nq+2Nkv]
+            # section split is unknown here; quantize as one block with
+            # n_align=1 (columns unpadded) — layout-equivalent to the
+            # loader's concat of unpadded sections
+            nl["wqkv"] = q(w, n_align=True)
+        if "w_gate_up" in nl and not hasattr(nl["w_gate_up"], "qvals"):
+            w = np.asarray(nl["w_gate_up"])                # [K, 2F]
+            f = w.shape[1] // 2
+            wd = nl.get("w_down")
+            part_pad = wd.k_pad if hasattr(wd, "k_pad") else None
+            gate = quantize_weight(np.ascontiguousarray(w[:, :f].T), kind,
+                                   n_align=1)
+            up = quantize_weight(np.ascontiguousarray(w[:, f:].T), kind,
+                                 n_align=1)
+            nl["w_gate_up"] = concat_packed([gate, up], part_pad=part_pad)
+        new_layers.append(nl)
+    out["layers"] = new_layers
+    if "lm_head" in out and not hasattr(out["lm_head"], "qvals"):
+        out["lm_head"] = q(out["lm_head"])
+    return out

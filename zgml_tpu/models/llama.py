@@ -381,6 +381,21 @@ class LlamaModel:
         self.cfg = cfg
         self.params = params
 
+    def quantize(self, kind: str = "q8_0") -> "LlamaModel":
+        """Post-hoc weight quantization in place (the reference's
+        `session.quantize(block)`, llama_inference.zig:189-231): every dense
+        matmul weight becomes a planar PackedWeight; norms/embeddings stay
+        f32. Re-derives the fused-kernel weight views. Returns self."""
+        from zgml_tpu.io.llama_loader import quantize_llama_params
+        from zgml_tpu.ops.layerkernel import attn_block_enabled
+        from zgml_tpu.quant.headmajor import attach_head_major
+        self.params = quantize_llama_params(self.params, kind)
+        if attn_block_enabled():
+            for layer in self.params["layers"]:
+                attach_head_major(layer, self.cfg.n_heads,
+                                  self.cfg.n_kv_heads, self.cfg.head_dim)
+        return self
+
     # -- cache --------------------------------------------------------------
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
         """KV cache matching the params layout: per-layer lists when layers are
