@@ -244,3 +244,23 @@ def test_every_op_has_a_lowering_rule():
     for op in Op:
         assert (f"Op.{op.name}" in src) or op in (Op.VAR, Op.CONST) \
             or op.name in ("SCALE", "ADD_SCALAR"), f"no lowering for {op}"
+
+
+def test_env_reads_centralized():
+    """Every ZGML_TPU_* toggle is read in zgml_tpu/config.py and nowhere else
+    (the reference centralizes capabilities the same way, backend.zig:14-111).
+    runtime/ktime.py may WRITE env vars (the A/B harness mechanism) but must
+    not read toggles ad hoc."""
+    import pathlib
+    import re
+    import zgml_tpu
+    root = pathlib.Path(zgml_tpu.__file__).parent
+    offenders = []
+    for p in root.rglob("*.py"):
+        rel = p.relative_to(root).as_posix()
+        if rel == "config.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"os\.environ(\.get)?\s*[\[(]\s*['\"]ZGML_TPU", line):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)

@@ -46,7 +46,38 @@ def test_flash_vjp_matches_oracle(b, hq, hkv, tq, s, kv_len, q_off):
     for name, a, bb in zip("dq dk dv".split(), got, want):
         a, bb = np.asarray(a), np.asarray(bb)
         scale = np.abs(bb).max() + 1e-9
-        np.testing.assert_allclose(a / scale, bb / scale, atol=2e-2,
+        # bf16 MXU operands vs the f32 oracle: <= ~5e-3 now that the
+        # backward recomputes scores with the forward's exact operand dtypes
+        # (was 2e-2 when the recompute ran f32 against a bf16-derived LSE)
+        np.testing.assert_allclose(a / scale, bb / scale, atol=8e-3,
+                                   err_msg=name)
+
+
+def test_flash_vjp_f32_gate_tight(monkeypatch):
+    """ZGML_TPU_PREFILL_BF16=0 restores full-f32 numerics through the flash
+    forward AND backward — gradients then match the oracle to f32 accumulation
+    noise (the one-switch A/B the config contract promises)."""
+    monkeypatch.setenv("ZGML_TPU_PREFILL_BF16", "0")
+    b, hq, hkv, tq, s, kv_len, q_off, d = 1, 4, 2, 128, 256, 200, 72, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, hq, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    ki = np.arange(s)[None, :]
+    qi = q_off + np.arange(tq)[:, None]
+    mask = jnp.asarray((ki < kv_len) & (ki <= qi))
+
+    got = _grads(lambda q, k, v: flash_attention_pallas(
+        q, k, v, kv_len=kv_len, q_offset=q_off), q, k, v)
+    want = _grads(lambda q, k, v: refs.gqa_attention_ref(
+        q, k, v, mask[None, None]), q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), got, want):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = np.abs(bb).max() + 1e-9
+        # dk/dv accumulate over 128 query rows (ordering differs from the
+        # oracle's softmax-vjp), so f32 residue is ~4e-4; the bf16 path is
+        # ~5e-3 — 1e-3 cleanly separates the two
+        np.testing.assert_allclose(a / scale, bb / scale, atol=1e-3,
                                    err_msg=name)
 
 

@@ -25,4 +25,27 @@ Zig/CPU/Metal framework; this package re-designs its capability set TPU-first:
 
 __version__ = "0.1.0"
 
-from zgml_tpu import quant, io, ops  # noqa: F401
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (VERDICT r2: 290s warmup/compile per
+    process at 7B). Mosaic/XLA executables are content-addressed on disk, so
+    a second process skips straight to execution. ZGML_TPU_CACHE_DIR=''
+    disables; errors (read-only fs, version skew) are non-fatal."""
+    from zgml_tpu import config
+    path = config.cache_dir()
+    if not path:
+        return
+    try:
+        import os
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+from zgml_tpu import quant, io, ops  # noqa: F401,E402

@@ -1,0 +1,139 @@
+"""Central runtime configuration — the one audited surface for every
+ZGML_TPU_* toggle (the analog of the reference's `Capabilities` object,
+src/backend.zig:14-111: one place declares what the backend does; callers
+never probe ad hoc).
+
+Every environment read in the package goes through this module (enforced by
+test_graph.test_env_reads_centralized). Flags are read live rather than
+frozen at import because the interleaved A/B harnesses (runtime/ktime.time_ab)
+flip env vars mid-process by design; consolidation here is about a single
+documented, greppable surface — `snapshot()` returns the fully resolved dict
+so benches print the exact configuration they ran under (reproducibility,
+ref perf-targets.md:157-161).
+
+Toggle inventory (env var -> accessor -> effect):
+  ZGML_TPU_KERNELS=ref           kernels_ref()      route ALL ops to the jnp oracle
+  ZGML_TPU_KERNELS_DISABLE=a,b   kernels_disabled() per-op oracle routing (A/B)
+  ZGML_TPU_KERNELS_FORCE=a,b     kernels_forced()   opt-in Pallas for default-XLA ops
+  ZGML_TPU_INTERPRET=1           interpret()        Pallas interpret mode (CPU tests)
+  ZGML_TPU_ATTN_BLOCK=0          attn_block()       disable the fused layer kernels
+  ZGML_TPU_LAYER_FFN=1           layer_ffn()        merge the FFN into the layer kernel
+  ZGML_TPU_STACK_DECODE=0        stack_decode()     disable the all-layers decode megacall
+  ZGML_TPU_ATTN_I8A=0/1          attn_i8a(dp)       int8 A-phase (default: on iff dp>=4096)
+  ZGML_TPU_ATTN_I8PV=1           attn_i8pv()        int8 P.V dot in q8 decode attention
+  ZGML_TPU_I8DOT=0               i8dot()            disable int8-dot qmatmul tier
+  ZGML_TPU_PREFILL_BF16=0        prefill_bf16()     full-f32 prefill numerics (A/B)
+  ZGML_TPU_DYNGRID=0             dyngrid()          static (full-max_seq) KV grids
+  ZGML_TPU_NATIVE=0              native()           disable the C++ host library
+  ZGML_TPU_CACHE_DIR=path        cache_dir()        persistent XLA compilation cache
+"""
+from __future__ import annotations
+
+import os
+
+
+def _get(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+def _flag(name: str, default: str) -> bool:
+    return _get(name, default) != "0"
+
+
+def _names(name: str) -> frozenset[str]:
+    raw = _get(name, "")
+    return frozenset(s.strip() for s in raw.split(",") if s.strip())
+
+
+# -- kernel tier routing ------------------------------------------------------
+
+def kernels_ref() -> bool:
+    """True: every op dispatches to the jnp oracle tier."""
+    return _get("ZGML_TPU_KERNELS", "pallas") == "ref"
+
+
+def kernels_disabled() -> frozenset[str]:
+    return _names("ZGML_TPU_KERNELS_DISABLE")
+
+
+def kernels_forced() -> frozenset[str]:
+    return _names("ZGML_TPU_KERNELS_FORCE")
+
+
+def interpret() -> bool:
+    """Run every Pallas kernel in interpret mode (CPU CI; exact semantics,
+    no Mosaic)."""
+    return _get("ZGML_TPU_INTERPRET", "0") == "1"
+
+
+def attn_block() -> bool:
+    return _flag("ZGML_TPU_ATTN_BLOCK", "1")
+
+
+def layer_ffn() -> bool:
+    """Whole-layer merge: FFN phases inside the fused attention kernel."""
+    return _get("ZGML_TPU_LAYER_FFN", "0") == "1"
+
+
+def stack_decode() -> bool:
+    """All-layers decode megacall (ops/stackkernel.py): one Pallas call per
+    token for the entire layer stack."""
+    return _flag("ZGML_TPU_STACK_DECODE", "1")
+
+
+def attn_i8a(dp: int) -> bool:
+    """int8 A-phase in the layer kernel; default auto: on where the QKV
+    weight is big enough that f32 dequant VPU work shows (dp >= 4096)."""
+    default = "1" if dp >= 4096 else "0"
+    return _flag("ZGML_TPU_ATTN_I8A", default) and dp % 32 == 0
+
+
+def attn_i8pv() -> bool:
+    """int8 P.V dot in q8 decode attention. Default OFF: the in-kernel
+    f32->int8 round legalizes poorly on Mosaic (measured 18-56us vs 3-10us);
+    folding per-position V scales into p wins on speed AND accuracy."""
+    return _get("ZGML_TPU_ATTN_I8PV", "0") == "1"
+
+
+def i8dot() -> bool:
+    return _flag("ZGML_TPU_I8DOT", "1")
+
+
+def prefill_bf16() -> bool:
+    """bf16 MXU operands on the prefill path (dequant-matmul bf16 tier AND
+    the flash kernels' score/PV dots). =0 restores full-f32 numerics."""
+    return _flag("ZGML_TPU_PREFILL_BF16", "1")
+
+
+def dyngrid() -> bool:
+    return _flag("ZGML_TPU_DYNGRID", "1")
+
+
+def native() -> bool:
+    return _flag("ZGML_TPU_NATIVE", "1")
+
+
+def cache_dir() -> str:
+    """Persistent XLA compilation cache directory ('' disables)."""
+    return _get("ZGML_TPU_CACHE_DIR", os.path.expanduser(
+        "~/.cache/zgml_tpu/xla"))
+
+
+def snapshot(dp_hint: int = 4096) -> dict:
+    """Fully resolved flag values for bench headers / reproducibility."""
+    return {
+        "kernels": "ref" if kernels_ref() else "pallas",
+        "kernels_disable": sorted(kernels_disabled()),
+        "kernels_force": sorted(kernels_forced()),
+        "interpret": interpret(),
+        "attn_block": attn_block(),
+        "layer_ffn": layer_ffn(),
+        "stack_decode": stack_decode(),
+        "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
+        "attn_i8pv": attn_i8pv(),
+        "i8dot": i8dot(),
+        "prefill_bf16": prefill_bf16(),
+        "dyngrid": dyngrid(),
+        "native": native(),
+        "cache_dir": cache_dir(),
+    }

@@ -12,6 +12,8 @@ import threading
 
 import numpy as np
 
+from zgml_tpu import config
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libzgml_host.so")
 _SRC = os.path.join(_HERE, "host.cpp")
@@ -33,7 +35,7 @@ def _build() -> bool:
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
-    if os.environ.get("ZGML_TPU_NATIVE", "1") == "0":
+    if not config.native():
         return None
     with _lock:
         if _lib is not None or _tried:

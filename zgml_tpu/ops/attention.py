@@ -24,23 +24,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from zgml_tpu import config
+
 NEG_INF = -1e30
 
 
 def _interpret() -> bool:
-    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+    return config.interpret()
 
 
 def _dyngrid() -> bool:
     """Dynamic KV grid dims (steps ∝ kv_len); ZGML_TPU_DYNGRID=0 restores
     static max_seq grids (compute-skipped dead steps, ~1us each)."""
-    return os.environ.get("ZGML_TPU_DYNGRID", "1") != "0"
+    return config.dyngrid()
 
 
 # -- prefill flash attention --------------------------------------------------
 
 def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, bq: int, bk: int, scale: float, n_kb: int):
+                  *, bq: int, bk: int, scale: float, n_kb: int,
+                  bf16: bool = True):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
     kv_len = lens_ref[0]       # valid keys
@@ -60,9 +63,12 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     @pl.when(block_live)
     def _():
         # bf16 MXU operands, f32 accumulate: prefill is MXU-bound and f32
-        # dots run at 1/4 rate; softmax math stays f32
-        q = q_ref[0].astype(jnp.bfloat16)         # [bq, d]
-        k = k_ref[0].astype(jnp.bfloat16)         # [bk, d]
+        # dots run at 1/4 rate; softmax math stays f32. The cast honors the
+        # ZGML_TPU_PREFILL_BF16 gate so one switch restores f32 numerics
+        # across BOTH the dequant-matmul tier and the flash kernels
+        mxu = jnp.bfloat16 if bf16 else jnp.float32
+        q = q_ref[0].astype(mxu)                  # [bq, d]
+        k = k_ref[0].astype(mxu)                  # [bk, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         # mask: key j (abs kb*bk+j) must be < kv_len and <= q_off + (qb*bq+i)
@@ -79,7 +85,7 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            p.astype(mxu), v_ref[0].astype(mxu),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -90,8 +96,10 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
-def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float):
+@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale",
+                                             "bf16"))
+def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int,
+           scale: float, bf16: bool = True):
     """q: [B*Hq, Tq, d], k/v: [B'*Hkv, S, d], lens: int32 [3] =
     (kv_len, q_off, kv_row).
 
@@ -136,7 +144,8 @@ def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int, scale: float
         ],
     )
     return pl.pallas_call(
-        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb),
+        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb,
+                          bf16=bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
         interpret=_interpret(),
@@ -188,7 +197,8 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     # differentiating through the kernel (impossible) or the jnp ref
     # (materializes O(T^2) scores). Zero overhead when not differentiating.
     from zgml_tpu.ops.flash_vjp import make_flash_vjp
-    f = make_flash_vjp(hq, n_rep, bq_eff, bk_eff, 1.0 / (d ** 0.5))
+    f = make_flash_vjp(hq, n_rep, bq_eff, bk_eff, 1.0 / (d ** 0.5),
+                       bf16=config.prefill_bf16())
     out = f(qp.reshape(b * hq, tq_pad, d), k.reshape(-1, s, d),
             v.reshape(-1, s, d), lens)
     return out.reshape(b, hq, tq_pad, d)[:, :, :tq]
@@ -312,7 +322,7 @@ def _pq_int8() -> bool:
     18-56us vs 3-10us for the f32-p variant at 7B shapes), so folding the
     per-position V scales into p and letting the dot promote int8 V wins on
     both speed AND accuracy (~0.7% vs ~3.5% max rel err)."""
-    return os.environ.get("ZGML_TPU_ATTN_I8PV", "0") == "1"
+    return config.attn_i8pv()
 
 
 def _decode_q8_kernel(len_ref, qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref,

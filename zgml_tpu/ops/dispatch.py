@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from zgml_tpu.ops import refs
 from zgml_tpu.quant.repack import PackedWeight
 
+from zgml_tpu import config
+
 _force_ref: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "zgml_force_ref", default=False)
 
@@ -43,12 +45,10 @@ def use_pallas(op: str | None = None) -> bool:
     interpreted."""
     if _force_ref.get():
         return False
-    if os.environ.get("ZGML_TPU_KERNELS", "pallas") == "ref":
+    if config.kernels_ref():
         return False
-    if op is not None:
-        disabled = os.environ.get("ZGML_TPU_KERNELS_DISABLE", "")
-        if op in {s.strip() for s in disabled.split(",") if s.strip()}:
-            return False
+    if op is not None and op in config.kernels_disabled():
+        return False
     return True
 
 
@@ -132,8 +132,7 @@ def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
     # pure dispatch overhead (measured: decode 1223->1304 tok/s, prefill
     # 15.4k->19.5k on SmolLM-shape by switching). The Pallas kernel stays
     # available via ZGML_TPU_KERNELS_FORCE=rmsnorm for standalone/huge rows.
-    forced = os.environ.get("ZGML_TPU_KERNELS_FORCE", "")
-    if "rmsnorm" in forced and use_pallas("rmsnorm"):
+    if "rmsnorm" in config.kernels_forced() and use_pallas("rmsnorm"):
         from zgml_tpu.ops.rmsnorm import rmsnorm_pallas
         _count("rmsnorm", "pallas")
         return rmsnorm_pallas(x, gamma, eps)

@@ -16,9 +16,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from zgml_tpu import config
+
 
 def _interpret() -> bool:
-    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+    return config.interpret()
 
 
 def fused_chain(x: jax.Array, steps, side_inputs: list[jax.Array],

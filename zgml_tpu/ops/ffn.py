@@ -28,9 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.repack import PackedWeight
 
+from zgml_tpu import config
+
 
 def _interpret() -> bool:
-    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+    return config.interpret()
 
 
 def _ffn_kernel(x_ref, g_ref, gq_ref, gs_ref, uq_ref, us_ref, dq_ref, ds_ref,

@@ -39,7 +39,8 @@ from zgml_tpu.ops.attention import NEG_INF, _flash, _interpret
 # -- forward with LSE ---------------------------------------------------------
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *, bq, bk, scale, n_kb):
+                m_ref, l_ref, acc_ref, *, bq, bk, scale, n_kb,
+                bf16=True):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
     kv_len = lens_ref[0]
@@ -56,10 +57,11 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(block_live)
     def _():
-        # bf16 MXU operands (f32 accumulate) to match the inference kernel
-        # bit-for-bit; softmax math stays f32
-        q = q_ref[0].astype(jnp.bfloat16)
-        k = k_ref[0].astype(jnp.bfloat16)
+        # MXU operand dtype matches the inference kernel bit-for-bit
+        # (bf16 unless ZGML_TPU_PREFILL_BF16=0); softmax math stays f32
+        mxu = jnp.bfloat16 if bf16 else jnp.float32
+        q = q_ref[0].astype(mxu)
+        k = k_ref[0].astype(mxu)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         ki = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
@@ -74,7 +76,7 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            p.astype(mxu), v_ref[0].astype(mxu),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -89,8 +91,9 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
-def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale):
+@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk",
+                                             "scale", "bf16"))
+def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale, bf16=True):
     """Like attention._flash but also returns LSE [tq, B*Hq] (transposed).
 
     lens [3] = (kv_len, q_off, kv_row); kv_row offsets into a larger batched
@@ -125,7 +128,8 @@ def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb),
+        functools.partial(_fwd_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb,
+                          bf16=bf16),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
                    jax.ShapeDtypeStruct((bhq, tq, 128), jnp.float32)],
@@ -136,7 +140,7 @@ def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale):
 # -- backward: dQ -------------------------------------------------------------
 
 def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-               dq_ref, acc_ref, *, bq, bk, scale, n_kb):
+               dq_ref, acc_ref, *, bq, bk, scale, n_kb, bf16=True):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
     kv_len = lens_ref[0]
@@ -151,8 +155,13 @@ def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
     @pl.when(block_live)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # bf16 MXU operands exactly as the forward kernel used them, so the
+        # recomputed scores (and hence p = exp(s - lse)) match the stored
+        # LSE bit-for-bit; without this p rows don't sum to 1 against o/delta
+        # and the gradient carries a systematic bf16-scale bias
+        mxu = jnp.bfloat16 if bf16 else jnp.float32
+        q = q_ref[0].astype(mxu)
+        k = k_ref[0].astype(mxu)
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -160,14 +169,15 @@ def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         qi = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qb * bq + q_off
         s = jnp.where((ki < kv_len) & (ki <= qi), s, NEG_INF)
         p = jnp.exp(s - lse_ref[0, :, :1])                  # [bq, bk]
-        dp = jax.lax.dot_general(do, v_ref[0].astype(jnp.float32),
+        dp = jax.lax.dot_general(do.astype(mxu),
+                                 v_ref[0].astype(mxu),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         delta = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=1,
                         keepdims=True)                      # [bq, 1]
         ds = p * (dp - delta) * scale
         acc_ref[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)
@@ -175,8 +185,10 @@ def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
-def _flash_dq(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale):
+@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk",
+                                             "scale", "bf16"))
+def _flash_dq(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale,
+              bf16=True):
     bhq, tq, d = q.shape
     _, s, _ = k.shape
     n_qb, n_kb = tq // bq, s // bk
@@ -206,7 +218,8 @@ def _flash_dq(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale):
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_dq_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb),
+        functools.partial(_dq_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb,
+                          bf16=bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
         interpret=_interpret(),
@@ -216,7 +229,8 @@ def _flash_dq(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale):
 # -- backward: dK, dV (per query head; GQA group summed by the caller) --------
 
 def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                dk_ref, dv_ref, acck_ref, accv_ref, *, bq, bk, scale, n_qb):
+                dk_ref, dv_ref, acck_ref, accv_ref, *, bq, bk, scale, n_qb,
+                bf16=True):
     kb = pl.program_id(1)
     qb = pl.program_id(2)
     kv_len = lens_ref[0]
@@ -232,9 +246,11 @@ def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
     @pl.when(block_live)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # score/dp operand dtype matching the forward kernel (see _dq_kernel)
+        mxu = jnp.bfloat16 if bf16 else jnp.float32
+        q = q_ref[0].astype(mxu)
+        k = k_ref[0].astype(mxu)
+        v = v_ref[0].astype(mxu)
         do = do_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -243,15 +259,17 @@ def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         s = jnp.where((ki < kv_len) & (ki <= qi), s, NEG_INF)
         p = jnp.exp(s - lse_ref[0, :, :1])                  # [bq, bk]
         accv_ref[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(mxu), do.astype(mxu),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # [bk, d]
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do.astype(jnp.bfloat16), v,
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         delta = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=1,
                         keepdims=True)
         ds = p * (dp - delta) * scale
         acck_ref[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # [bk, d]
 
     @pl.when(qb == n_qb - 1)
@@ -260,8 +278,10 @@ def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dv_ref[0] = accv_ref[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale"))
-def _flash_dkv(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale):
+@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk",
+                                             "scale", "bf16"))
+def _flash_dkv(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale,
+               bf16=True):
     """Returns (dk, dv) per QUERY head: [B*Hq, S, d] each."""
     bhq, tq, d = q.shape
     _, s, _ = k.shape
@@ -295,7 +315,8 @@ def _flash_dkv(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale):
                         pltpu.VMEM((bk, d), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_dkv_kernel, bq=bq, bk=bk, scale=scale, n_qb=n_qb),
+        functools.partial(_dkv_kernel, bq=bq, bk=bk, scale=scale, n_qb=n_qb,
+                          bf16=bf16),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bhq, s, d), k.dtype),
                    jax.ShapeDtypeStruct((bhq, s, d), v.dtype)],
@@ -306,12 +327,14 @@ def _flash_dkv(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale):
 # -- custom_vjp assembly ------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def make_flash_vjp(hq: int, n_rep: int, bq: int, bk: int, scale: float):
+def make_flash_vjp(hq: int, n_rep: int, bq: int, bk: int, scale: float,
+                   bf16: bool = True):
     """custom_vjp-wrapped flash attention for one static geometry.
 
     Signature: f(q [B*Hq, Tq, d], k [B*Hkv, S, d], v, lens int32 [2]) -> o.
-    """
-    kw = dict(hq=hq, n_rep=n_rep, bq=bq, bk=bk, scale=scale)
+    bf16 selects the MXU operand dtype in forward AND backward (they must
+    match so the recomputed p agrees with the stored LSE)."""
+    kw = dict(hq=hq, n_rep=n_rep, bq=bq, bk=bk, scale=scale, bf16=bf16)
 
     @jax.custom_vjp
     def f(q, k, v, lens):

@@ -58,16 +58,18 @@ from jax.experimental.pallas import tpu as pltpu
 from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.headmajor import HeadPacked
 
+from zgml_tpu import config
+
 NEG_INF = -1e30
 
 
 def _interpret() -> bool:
-    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+    return config.interpret()
 
 
 def attn_block_enabled() -> bool:
     """ZGML_TPU_ATTN_BLOCK=0 disables the fused layer/attention kernels."""
-    return os.environ.get("ZGML_TPU_ATTN_BLOCK", "1") != "0"
+    return config.attn_block()
 
 
 def _dequant(w_ref, s_lo_ref, s_hi_ref, kind):
@@ -631,7 +633,7 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
     pack = layer.get("ffn_q4n")
     has_ffn = (pack is not None and wqkv.kind == "q4_0"
                and pack["gu_q"].shape[0] == dp
-               and os.environ.get("ZGML_TPU_LAYER_FFN", "0") == "1")
+               and config.layer_ffn())
     x2d = x.reshape(1, d).astype(jnp.float32)
     xp = jnp.pad(x2d, ((0, 7), (0, dp - d)))
     g1 = jnp.pad(layer["attn_norm"].reshape(1, d).astype(jnp.float32),
@@ -642,9 +644,7 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
           if g2_raw is not None else jnp.zeros((1, dp), jnp.float32))
     # int8 A phase wins where the QKV weight is big enough that the f32
     # dequant VPU work shows (7B-class: +2.5% step; 1B: noise-level loss)
-    a_i8_default = "1" if dp >= 4096 else "0"
-    a_i8 = (os.environ.get("ZGML_TPU_ATTN_I8A", a_i8_default) != "0"
-            and dp % QK == 0)
+    a_i8 = config.attn_i8a(dp)
     if a_i8:
         # rmsnorm + per-32-block activation quantization OUTSIDE the kernel
         # (the int8 A phase is the ggml vec-dot tier; trading the norm

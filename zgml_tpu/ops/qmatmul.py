@@ -29,9 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.repack import PackedWeight
 
+from zgml_tpu import config
+
 
 def _interpret() -> bool:
-    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+    return config.interpret()
 
 
 def _expand_scales(s, block=QK):
@@ -331,7 +333,7 @@ def _q4_matmul_i8(x, qvals, scales, *, bm: int, bn: int, bk: int, out_dtype):
 def _i8dot_enabled() -> bool:
     """ggml-parity int8-activation dots; ZGML_TPU_I8DOT=0 restores the
     f32-dequant kernels (A/B + accuracy comparisons)."""
-    return os.environ.get("ZGML_TPU_I8DOT", "1") != "0"
+    return config.i8dot()
 
 
 # -- backward (transposed dequant-matmul) kernels -----------------------------
@@ -470,7 +472,7 @@ def _qmm_diff(meta, x2, qvals, scales):
         return f(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
                  out_dtype=np.dtype(out_dtype))
     bf16_ok = (bm >= 32
-               and os.environ.get("ZGML_TPU_PREFILL_BF16", "1") != "0")
+               and config.prefill_bf16())
     f = _q8_matmul if kind == "q8_0" else _q4_matmul
     return f(x2, qvals, scales, bm=bm, bn=bn, bk=bk,
              out_dtype=np.dtype(out_dtype), dot_bf16=bf16_ok)

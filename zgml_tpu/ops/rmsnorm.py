@@ -15,9 +15,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from zgml_tpu import config
+
 
 def _interpret() -> bool:
-    return os.environ.get("ZGML_TPU_INTERPRET", "0") == "1"
+    return config.interpret()
 
 
 def _rmsnorm_kernel(x_ref, g_ref, o_ref, *, eps: float, d_logical: int):

@@ -20,6 +20,8 @@ import numpy as np
 
 from zgml_tpu.quant.repack import PackedWeight
 
+from zgml_tpu import config
+
 
 def time_call(f, x0, *rest, reps: int = 32, reps2: int = 160,
               trials: int = 3) -> float:
@@ -102,6 +104,7 @@ def time_ab(variants: dict, reps: int = 30, reps2: int = 160,
                     os.environ[k] = old
         comp[name] = (l1, l2, x0, rest)
     slopes = {n: [] for n in variants}
+    raw = {}
     for _ in range(rounds):
         for name, (l1, l2, x0, rest) in comp.items():
             t0 = time.time()
@@ -110,10 +113,16 @@ def time_ab(variants: dict, reps: int = 30, reps2: int = 160,
             float(np.asarray(l2(x0, *rest)).ravel()[0])
             t2 = time.time()
             slopes[name].append(((t2 - t1) - (t1 - t0)) / (reps2 - reps))
+            raw[name] = min(raw.get(name, float("inf")),
+                            (t2 - t1) / reps2)
     out = {}
     for n, ss in slopes.items():
         pos = [s for s in ss if s > 0]
-        out[n] = float(np.median(pos)) if pos else max(ss)
+        # no positive slope (every window was contended): fall back to the
+        # raw two-point estimate from the best round — mirroring time_call —
+        # rather than returning a zero/negative slope that silently corrupts
+        # downstream A/B ratios
+        out[n] = float(np.median(pos)) if pos else raw.get(n, float("nan"))
     return out
 
 
@@ -186,8 +195,14 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     kv_bytes = 2 * batch * hkv * kv_len * hd * 2     # live K+V, bf16
     add("decode_attention", f"[kv={kv_len}/{s}]", dt, L, kv_bytes)
 
-    # -- fused decode-path kernels (when attached) ---------------------------
-    if batch == 1 and "wo3" in layer0:
+    # -- fused decode-path kernels (when attached AND the step will actually
+    # run them: key on the same runtime gates _layer_step uses, not on wo3
+    # presence alone — a flipped ZGML_TPU_ATTN_BLOCK would otherwise inflate
+    # the 'unaccounted' row by excluding rows the step really served) -------
+    from zgml_tpu.ops.layerkernel import attn_block_enabled
+    fused_active = (batch == 1 and "wo3" in layer0
+                    and attn_block_enabled() and ops.use_pallas("attn_block"))
+    if fused_active:
         from zgml_tpu.ops import refs as _refs
         from zgml_tpu.ops.layerkernel import attn_block_step
         cos, sin = _refs.rope_cos_sin(jnp.asarray([kv_len]), hd,
@@ -206,7 +221,7 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
         ab_bytes = (layer0["wqkv"].nbytes + layer0["wo3"].nbytes + kv_bytes)
         import os as _os
         whole = ("ffn_q4n" in layer0
-                 and _os.environ.get("ZGML_TPU_LAYER_FFN", "0") == "1")
+                 and config.layer_ffn())
         if whole:                        # whole-layer kernel: FFN included
             ab_bytes += sum(v.nbytes for v in layer0["ffn_q4n"].values())
             add("layer(fused)", f"[kv={kv_len}]", dt, L, ab_bytes)
@@ -261,15 +276,15 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
     x0 = jnp.zeros((batch, 2), jnp.float32)
     dt_step = time_call(step_fn, x0, model.params, cache, reps=reps)
     # reconcile against the kernels the step ACTUALLY runs: with the fused
-    # path attached, the per-projection and decode_attention rows are
-    # reference points only (the step runs attn_block + ffn_norm instead)
-    fused = any("(fused)" in r["name"] for r in rows)
+    # path active (same gates as _layer_step), the per-projection and
+    # decode_attention rows are reference points only (the step runs
+    # attn_block + ffn_norm instead)
     served = ["wqkv", "wo", "w_gate_up", "w_gate", "w_up", "w_down",
               "decode_attention"]
     if any(r["name"] == "layer(fused)" for r in rows):
         served += ["ffn_q4n(fused)", "ffn_norm(fused)"]
     accounted = sum(r["us_tok"] for r in rows
-                    if not (fused and r["name"] in served))
+                    if not (fused_active and r["name"] in served))
     add("full decode step", "", dt_step, 1, 0)
     rows.append({"name": "unaccounted (dispatch+glue)", "shape": "",
                  "us_call": dt_step * 1e6 - accounted, "calls_tok": 1,
