@@ -64,6 +64,8 @@ def main():
     from zgml_tpu.utils import synthetic
 
     log(f"devices: {jax.devices()}")
+    from zgml_tpu import config as zcfg_hdr
+    log(f"config: {zcfg_hdr.snapshot()}")
     if args.smoke:
         args.preset, args.pp, args.tg = "tiny", 16, 8
 
@@ -103,6 +105,9 @@ def main():
         save_packed_llama(packed, model)
         how = "loaded+repacked (cached for next run)"
     model.params = jax.device_put(model.params)
+    from zgml_tpu import config as zconfig
+    if zconfig.stack_decode() and model.enable_stacked_decode():
+        how += " +stacked-decode megacall"
     log(f"{how} in {time.time()-t0:.1f}s "
         f"(cfg: d={cfg.d_model} L={cfg.n_layers} heads={cfg.n_heads}/"
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")

@@ -162,8 +162,12 @@ _tp_gather.defvjp(_tp_gather_fwd, _tp_gather_bwd)
 
 def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                 cos, sin, decode: bool, tp_axis: str | None = None,
-                tp_size: int = 1, cache_row=None, write_pos=None):
-    """One transformer block. x: [B, T, D]; cache_k/v: [B, Hkv_local, S, dh].
+                tp_size: int = 1, cache_row=None, write_pos=None,
+                kv_layer: int | None = None):
+    """One transformer block. x: [B, T, D]; cache_k/v: [B, Hkv_local, S, dh]
+    — or, with kv_layer set, the FULL stacked cache [L, B, Hkv, S, dh]: K/V
+    write at (kv_layer, 0, 0, pos, 0) (static-index in-place update) and the
+    flash kernel reads batch row kv_layer*B through its kv_row offset.
 
     Returns (x_out, new_cache_k, new_cache_v).
     ref: llama_transformer.zig:139-253 (training + cached forward).
@@ -179,6 +183,55 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     hq, hkv = cfg.n_heads // tp_size, cfg.n_kv_heads // tp_size
 
     per_row_pos = getattr(pos, "ndim", 0) == 1
+    if kv_layer is not None:
+        # stacked-cache per-layer path (prefill / non-megacall decode)
+        L, bb, hkv_c, s_c, hd_c = cache_k.shape
+        h = ops.rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        if "wqkv" in layer:
+            nq, nkv = hq * hd, hkv * hd
+            qkv = _project(h, layer["wqkv"])
+            q = qkv[..., :nq].reshape(b, t, hq, hd).transpose(0, 2, 1, 3)
+            k = qkv[..., nq:nq + nkv].reshape(b, t, hkv, hd
+                                              ).transpose(0, 2, 1, 3)
+            v = qkv[..., nq + nkv:nq + 2 * nkv].reshape(
+                b, t, hkv, hd).transpose(0, 2, 1, 3)
+        else:
+            q = _project(h, layer["wq"]).reshape(b, t, hq, hd
+                                                 ).transpose(0, 2, 1, 3)
+            k = _project(h, layer["wk"]).reshape(b, t, hkv, hd
+                                                 ).transpose(0, 2, 1, 3)
+            v = _project(h, layer["wv"]).reshape(b, t, hkv, hd
+                                                 ).transpose(0, 2, 1, 3)
+        q = ops.rope_apply(q, cos, sin)
+        k = ops.rope_apply(k, cos, sin)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k[None].astype(cache_k.dtype), (kv_layer, 0, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v[None].astype(cache_v.dtype), (kv_layer, 0, 0, pos, 0))
+        att = ops.flash_attention(
+            q, cache_k.reshape(L * bb, hkv_c, s_c, hd_c),
+            cache_v.reshape(L * bb, hkv_c, s_c, hd_c),
+            kv_len=kv_len, q_offset=pos, kv_row=kv_layer * bb)
+        att = att.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, hq * hd)
+        attn_out = _project(att, layer["wo"])
+        x = x + attn_out.astype(x.dtype)
+        h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+        ff_out = None
+        if "w_gate_up" in layer:
+            ff_out = ops.fused_ffn(h, layer["w_gate_up"], layer["w_down"])
+        if ff_out is None:
+            if "w_gate_up" in layer:
+                gu = _project(h, layer["w_gate_up"])
+                f = gu.shape[-1] // 2
+                gate, up = gu[..., :f], gu[..., f:]
+            else:
+                gate = _project(h, layer["w_gate"])
+                up = _project(h, layer["w_up"])
+            ff = refs.swiglu_ref(gate, up)
+            ff_out = _project(ff, layer["w_down"])
+        x = x + ff_out.astype(x.dtype)
+        return x, cache_k, cache_v
+
     if (decode and b == 1 and t == 1 and tp_axis is None
             and cache_row is None and write_pos is None and not per_row_pos
             and "wo3" in layer):
@@ -396,6 +449,21 @@ class LlamaModel:
                                   self.cfg.n_kv_heads, self.cfg.head_dim)
         return self
 
+    def enable_stacked_decode(self) -> bool:
+        """Build the stacked [L, ...] weight views for the all-layers decode
+        megacall (zgml_tpu/ops/stackkernel.py) and switch the KV cache layout
+        to stacked [L, B, Hkv, S, d]. Returns False (no-op) when the layers
+        are incompatible (non-q4_0, missing derived views). Opt-in: decode
+        then runs ONE Pallas call per token for the whole stack; prefill runs
+        the per-layer kernels against the stacked cache via kv_row=layer
+        index maps (no cache copies)."""
+        from zgml_tpu.ops.stackkernel import stack_llama_layers
+        stacked = stack_llama_layers(self.params, self.cfg)
+        if stacked is None:
+            return False
+        self.params["layers_stacked"] = stacked
+        return True
+
     # -- cache --------------------------------------------------------------
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
         """KV cache matching the params layout: per-layer lists when layers are
@@ -412,7 +480,8 @@ class LlamaModel:
             return {"k": [(kq, ks) for kq, ks in zip(qc["k_q"], qc["k_s"])],
                     "v": [(vq, vs) for vq, vs in zip(qc["v_q"], qc["v_s"])]}
         shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
-        if isinstance(self.params.get("layers"), (list, tuple)):
+        if ("layers_stacked" not in self.params
+                and isinstance(self.params.get("layers"), (list, tuple))):
             return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],
                     "v": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)]}
         full = (c.n_layers,) + shape
@@ -444,6 +513,36 @@ class LlamaModel:
             cos, sin = refs.rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
         kv_len = pos + t
         decode = t == 1
+
+        stacked = params.get("layers_stacked")
+        if (stacked is not None and tp_axis is None and cache_row is None
+                and write_pos is None and getattr(pos, "ndim", 0) == 0
+                and not isinstance(cache["k"], (list, tuple))):
+            from zgml_tpu import config as _config
+            ck, cv = cache["k"], cache["v"]          # [L, B, Hkv, S, d]
+            if (decode and b == 1 and _config.stack_decode()
+                    and ops.use_pallas("stack_decode")
+                    and not isinstance(ck, tuple)):
+                # the whole layer stack in ONE Pallas call per token
+                from zgml_tpu.ops.stackkernel import stacked_decode_step
+                x, ck, cv = stacked_decode_step(cfg, stacked, x, ck, cv,
+                                                pos, cos, sin)
+            else:
+                # per-layer kernels against the stacked cache: flash reads
+                # batch row kv_row = layer (the serving slot mechanism reused
+                # as a layer index), writes are static-index in-place updates
+                for li, layer in enumerate(params["layers"]):
+                    x, ck, cv = _layer_step(cfg, x, layer, ck, cv, pos,
+                                            kv_len, cos, sin, decode,
+                                            kv_layer=li)
+            x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
+            lm_head = params.get("lm_head")
+            if lm_head is None:
+                logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                                    params["tok_embd"].astype(jnp.float32))
+            else:
+                logits = _project(x, lm_head)
+            return logits.astype(jnp.float32), {"k": ck, "v": cv}
 
         layers = params["layers"]
         if isinstance(layers, (list, tuple)):
