@@ -340,3 +340,85 @@ def test_cp_prefill_2048_matches_single_device():
     np.testing.assert_allclose(np.asarray(step_logits),
                                np.asarray(ref_step[:, -1]),
                                rtol=2e-2, atol=2e-2)
+
+
+# -- TP over the FUSED kernel path (VERDICT r2 item 4) ------------------------
+
+@pytest.fixture(scope="module")
+def fused_q4_model(tmp_path_factory):
+    """Small q4_0 model with the full fused-view pipeline (wqkv, wo3,
+    ffn_q4n) — unrolled layers, exactly the flagship decode layout."""
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.utils.synthetic import write_synthetic_llama_gguf
+    cfg = LlamaConfig(vocab_size=256, d_model=256, n_heads=4, n_kv_heads=2,
+                      d_ff=512, n_layers=2, max_seq_len=64)
+    path = str(tmp_path_factory.mktemp("tpq4") / "tp_fused_q4.gguf")
+    write_synthetic_llama_gguf(path, cfg, GGMLType.Q4_0, seed=5)
+    model, _ = load_llama(path, mode="quantized")
+    return model
+
+
+def test_tp_fused_decode_matches_single_device(fused_q4_model):
+    """TP decode THROUGH the fused attention-block kernel: per-shard
+    re-derived wqkv/wo3/ffn_q4n views + local-head kernels + psum'd
+    residuals == the single-device fused path."""
+    from zgml_tpu.parallel.tp import shard_llama_params_fused
+    from zgml_tpu.runtime.profile import global_profile
+    model = fused_q4_model
+    cfg = model.cfg
+    assert "wo3" in model.params["layers"][0]
+
+    # single-device fused reference: prefill a short context then decode
+    prompt = np.random.default_rng(7).integers(0, 256, (1, 6)).astype(np.int32)
+    cache = model.init_cache(1)
+    _, cache = model.forward(model.params, jnp.asarray(prompt), cache, 0)
+    tok = jnp.asarray([[11]], jnp.int32)
+    ref_logits, ref_cache = model.forward(model.params, tok, cache, 6)
+
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    params = shard_llama_params_fused(model, mesh)
+    model_sh = LlamaModel(cfg, params)
+    fwd = make_sharded_forward(model_sh, mesh)
+    cache2 = model.init_cache(1)
+    _, cache2 = fwd(params, jnp.asarray(prompt), cache2, 0)
+    global_profile.reset()
+    logits, new_cache = fwd(params, tok, cache2, 6)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    # the fused kernel actually ran (placement counter, no silent fallback)
+    assert global_profile.op_tiers.get(("attn_block", "pallas"), 0) > 0
+    # cache row equivalence at the decode position
+    ref_k = np.concatenate([np.asarray(k[:, :, 6]) for k in ref_cache["k"]], 1)
+    new_k = np.concatenate([np.asarray(k[:, :, 6]) for k in new_cache["k"]], 1)
+    np.testing.assert_allclose(new_k.astype(np.float32),
+                               ref_k.astype(np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_shard_layer_fused_views_exact(fused_q4_model):
+    """Each shard's re-derived wqkv dequantizes exactly to the matching
+    head-segment columns of the global weight (no re-quantization)."""
+    from zgml_tpu.parallel.tp import shard_layer_fused
+    from zgml_tpu.quant.repack import dequant_packed
+    model = fused_q4_model
+    cfg = model.cfg
+    layer = model.params["layers"][0]
+    tp = 2
+    stacked, specs = shard_layer_fused(layer, cfg, tp)
+    hq_l = cfg.n_heads // tp
+    hkv_l = cfg.n_kv_heads // tp
+    hd = cfg.head_dim
+    nq, nkv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+    w_global = dequant_packed(layer["wqkv"])      # [N, K] logical
+    pw = stacked["wqkv"]
+    n_pad_l = pw.n_pad
+    import dataclasses as dc
+    for t in range(tp):
+        local = dc.replace(pw, qvals=pw.qvals[:, t*n_pad_l:(t+1)*n_pad_l],
+                           scales=pw.scales[:, t*n_pad_l:(t+1)*n_pad_l])
+        w_local = dequant_packed(local)
+        expect = np.concatenate([
+            w_global[t*hq_l*hd:(t+1)*hq_l*hd],
+            w_global[nq + t*hkv_l*hd: nq + (t+1)*hkv_l*hd],
+            w_global[nq + nkv + t*hkv_l*hd: nq + nkv + (t+1)*hkv_l*hd]], 0)
+        np.testing.assert_array_equal(w_local, expect)

@@ -160,6 +160,19 @@ def _tp_gather_bwd(axis_name, shard, g):
 _tp_gather.defvjp(_tp_gather_fwd, _tp_gather_bwd)
 
 
+@dataclasses.dataclass(frozen=True)
+class _LocalCfgView:
+    """Shard-local config view for the fused kernels under TP: local head
+    counts with the FULL model width (norms see all of d; heads are the
+    shard's own). LlamaConfig derives head_dim from d_model/n_heads, which
+    would be wrong for a shard, hence the explicit field."""
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    d_model: int
+    rms_norm_eps: float
+
+
 def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                 cos, sin, decode: bool, tp_axis: str | None = None,
                 tp_size: int = 1, cache_row=None, write_pos=None,
@@ -232,14 +245,21 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
         x = x + ff_out.astype(x.dtype)
         return x, cache_k, cache_v
 
-    if (decode and b == 1 and t == 1 and tp_axis is None
+    if (decode and b == 1 and t == 1
             and cache_row is None and write_pos is None and not per_row_pos
             and "wo3" in layer):
         from zgml_tpu.ops.layerkernel import (attn_block_compatible,
                                               attn_block_enabled,
                                               attn_block_step)
+        # Under TP the kernels run unmodified on the shard's LOCAL head
+        # counts (weights/views per-shard re-derived, parallel/tp.py
+        # shard_layer_fused); only the residual adds move outside so the
+        # row-sharded projections psum before they join the stream.
+        kcfg = cfg if tp_size == 1 else _LocalCfgView(
+            n_heads=hq, n_kv_heads=hkv, head_dim=hd, d_model=d,
+            rms_norm_eps=cfg.rms_norm_eps)
         if (attn_block_enabled() and ops.use_pallas("attn_block")
-                and attn_block_compatible(layer, cfg, cache_k)):
+                and attn_block_compatible(layer, kcfg, cache_k)):
             # fused attention block: norm+qkv+rope+attention+wo+residual in
             # ONE kernel; the current token's K/V attend from registers (the
             # cache write below happens logically in parallel)
@@ -249,7 +269,12 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             c2 = jnp.concatenate([cos, cos], -1).reshape(1, 2 * half)
             s2 = jnp.concatenate([-sin, sin], -1).reshape(1, 2 * half)
             x2, k_cur, v_cur, did_ffn = attn_block_step(
-                cfg, layer, x, cache_k, cache_v, pos, c2, s2)
+                kcfg, layer, x, cache_k, cache_v, pos, c2, s2,
+                allow_ffn=tp_axis is None)
+            if tp_axis is not None:
+                # kernel returned x + wo_partial (local heads); psum the
+                # partial, then re-add the replicated residual
+                x2 = x + _tp_reduce(x2 - x, tp_axis)
             if isinstance(cache_k, tuple):
                 from zgml_tpu.quant.kv_cache import (quantize_columns,
                                                      write_columns)
@@ -267,13 +292,21 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             x = x2.astype(x.dtype)
             if did_ffn:      # whole layer ran inside the one kernel
                 return x, cache_k, cache_v
+
+            def _ffn_res(x_new):
+                # fused kernels return x + ffn_partial; under TP psum the
+                # partial before it joins the replicated stream
+                if tp_axis is not None:
+                    x_new = x + _tp_reduce(x_new - x, tp_axis)
+                return x_new.astype(x.dtype)
+
             if "ffn_q4n" in layer:
                 # N-packed Q4 FFN: wide DMA runs + fused norm/residual
                 x_new = ops.fused_ffn_norm_q4n(x, layer["ffn_norm"],
                                                layer["ffn_q4n"], d,
                                                cfg.rms_norm_eps)
                 if x_new is not None:
-                    return x_new.astype(x.dtype), cache_k, cache_v
+                    return _ffn_res(x_new), cache_k, cache_v
             if "w_gate_up" in layer:
                 # norm + FFN + residual fused into the one FFN launch
                 x_new = ops.fused_ffn_norm(x, layer["ffn_norm"],
@@ -281,7 +314,7 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                                            layer["w_down"],
                                            cfg.rms_norm_eps)
                 if x_new is not None:
-                    return x_new.astype(x.dtype), cache_k, cache_v
+                    return _ffn_res(x_new), cache_k, cache_v
             h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
             ff_out = None
             if "w_gate_up" in layer:
@@ -297,6 +330,8 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                     up = _project(h, layer["w_up"])
                 ff = refs.swiglu_ref(gate, up)
                 ff_out = _project(ff, layer["w_down"])
+            if tp_axis is not None:
+                ff_out = _tp_reduce(ff_out, tp_axis)
             x = x + ff_out.astype(x.dtype)
             return x, cache_k, cache_v
 

@@ -614,7 +614,8 @@ def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
     return True
 
 
-def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
+def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
+                    allow_ffn: bool = True):
     """One fused layer (or attention block). x [1, 1, d] f32; cache
     [1, hkv, S, hd].
 
@@ -631,7 +632,7 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2):
     # (1.62 vs 1.52 ms/step) — one kernel with every phase's inputs prefetches
     # ~4.5MB of later-phase block-0s before phase A can start.
     pack = layer.get("ffn_q4n")
-    has_ffn = (pack is not None and wqkv.kind == "q4_0"
+    has_ffn = (allow_ffn and pack is not None and wqkv.kind == "q4_0"
                and pack["gu_q"].shape[0] == dp
                and config.layer_ffn())
     x2d = x.reshape(1, d).astype(jnp.float32)
