@@ -38,6 +38,15 @@ def _enable_compilation_cache():
     try:
         import os
         import jax
+        # TPU executables only: XLA:CPU AOT artifacts bake in the build
+        # host's exact CPU features, and a cache written on one machine
+        # loads-with-SIGILL-risk warnings on another. The CPU tier (tests)
+        # compiles fast anyway; the 7B Mosaic compiles are what the cache
+        # is for. The backend isn't known at import, so key the decision on
+        # the requested platform env instead.
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" in plats.lower():
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

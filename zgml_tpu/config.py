@@ -26,6 +26,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_DYNGRID=0             dyngrid()          static (full-max_seq) KV grids
   ZGML_TPU_NATIVE=0              native()           disable the C++ host library
   ZGML_TPU_CACHE_DIR=path        cache_dir()        persistent XLA compilation cache
+  ZGML_TPU_TP_BARRIER=1          tp_barrier()       serialize TP collectives (overlap A/B)
 """
 from __future__ import annotations
 
@@ -111,6 +112,14 @@ def dyngrid() -> bool:
 
 def native() -> bool:
     return _flag("ZGML_TPU_NATIVE", "1")
+
+
+def tp_barrier() -> bool:
+    """Pin every TP collective behind optimization_barriers (A/B measurement
+    of collective/compute overlap, tools/bench_overlap.py). Default off:
+    XLA's latency-hiding scheduler is free to overlap psum/all_gather with
+    independent compute/DMA."""
+    return _get("ZGML_TPU_TP_BARRIER", "0") == "1"
 
 
 def cache_dir() -> str:

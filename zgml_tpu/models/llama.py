@@ -125,11 +125,22 @@ def _tp_reduce(x, axis_name):
     A raw lax.psum under shard_map(check_rep=False) transposes to another psum,
     which double-counts the (replicated) cotangent; the correct backward for a
     row-parallel projection output is the identity."""
+    return _psum_maybe_barrier(x, axis_name)
+
+
+def _psum_maybe_barrier(x, axis_name):
+    """psum, optionally fenced by optimization_barriers (ZGML_TPU_TP_BARRIER)
+    so the collective cannot overlap surrounding compute — the serialized
+    side of the collective/compute-overlap A/B (tools/bench_overlap.py)."""
+    from zgml_tpu import config
+    if config.tp_barrier():
+        x = jax.lax.optimization_barrier(x)
+        return jax.lax.optimization_barrier(jax.lax.psum(x, axis_name))
     return jax.lax.psum(x, axis_name)
 
 
 def _tp_reduce_fwd(x, axis_name):
-    return jax.lax.psum(x, axis_name), None
+    return _psum_maybe_barrier(x, axis_name), None
 
 
 def _tp_reduce_bwd(axis_name, _, g):

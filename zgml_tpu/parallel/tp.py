@@ -205,6 +205,36 @@ def shard_layer_fused(layer: dict, cfg, tp: int) -> tuple[dict, dict]:
     wqkv, wo = layer["wqkv"], layer["wo"]
     wgu, wd = layer.get("w_gate_up"), layer.get("w_down")
 
+    if not isinstance(wqkv, PackedWeight):
+        # dense unrolled layers: plain column/row slicing is exact; the
+        # merged wqkv/w_gate_up segments regroup per shard like the packed
+        # path (concat along the sharded axis -> shard_map splits back)
+        def seg_cols(w, ranges):
+            w = np.asarray(w)
+            shards = []
+            for t in range(tp):
+                shards.append(np.concatenate(
+                    [w[:, r0 + t * ln: r0 + (t + 1) * ln]
+                     for r0, ln in ranges], 1))
+            return np.concatenate(shards, 1)
+
+        qkv_ranges = [(0, hq_l * hd), (nq, hkv_l * hd),
+                      (nq + nkv, hkv_l * hd)]
+        out = {"attn_norm": np.asarray(layer["attn_norm"]),
+               "ffn_norm": np.asarray(layer["ffn_norm"]),
+               "wqkv": seg_cols(wqkv, qkv_ranges),
+               "wo": np.asarray(wo)}            # row split = contiguous
+        specs = {"attn_norm": P(None), "ffn_norm": P(None),
+                 "wqkv": P(None, "tp"), "wo": P("tp", None)}
+        if wd is not None:
+            f_g = np.asarray(wd).shape[0]
+            f_l = f_g // tp
+            out["w_down"] = np.asarray(wd)
+            specs["w_down"] = P("tp", None)
+            out["w_gate_up"] = seg_cols(wgu, [(0, f_l), (f_g, f_l)])
+            specs["w_gate_up"] = P(None, "tp")
+        return out, specs
+
     locals_ = []
     wo_sh = shard_packed(wo, tp, "k")
     wd_sh = shard_packed(wd, tp, "k") if isinstance(wd, PackedWeight) else None

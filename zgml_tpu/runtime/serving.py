@@ -56,52 +56,91 @@ class _Prefill:
 
 
 class ContinuousBatchingEngine:
+    """Single-host by default; pass `mesh` (axes 'dp','tp') to serve a
+    TENSOR-PARALLEL-sharded model with slots sharded over 'dp' — the decode
+    step, burst scan and chunked prefill all run inside shard_map so psum /
+    all_gather ride the mesh (BASELINE configs 4-5; no reference counterpart).
+
+    dp slot sharding: each dp shard owns max_batch/dp slot rows PLUS one
+    scratch row. A prefill chunk is SPMD — every shard runs the same batch-1
+    forward, but only the owner shard's dynamic_update_slice lands in its
+    real local row; the other shards dump the identical write into their
+    scratch row (same trick as the dead-position decode write below, spent
+    on a row instead of a position). model.params must already be sharded
+    (shard_llama_params / shard_llama_params_fused).
+    """
+
     def __init__(self, model, max_batch: int = 8, prefill_chunk: int = 128,
                  cache_dtype=jnp.bfloat16,
-                 sampling: SamplingParams = SamplingParams()):
+                 sampling: SamplingParams = SamplingParams(),
+                 mesh=None):
         self.model = model
         self.cfg = model.cfg
         self.max_batch = max_batch
         self.sampling = sampling
-        self.cache = model.init_cache(max_batch, cache_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            self.dp = int(mesh.shape.get("dp", 1))
+            self.tp = int(mesh.shape.get("tp", 1))
+            if max_batch % self.dp:
+                raise ValueError(f"max_batch={max_batch} not divisible by "
+                                 f"dp={self.dp}")
+            self._b_loc = max_batch // self.dp      # real rows per dp shard
+            n_phys = max_batch + self.dp            # + one scratch row each
+        else:
+            self.dp = self.tp = 1
+            self._b_loc = max_batch
+            n_phys = max_batch
+        self._n_phys = n_phys
+        self.cache = model.init_cache(n_phys, cache_dtype)
         self.prefill_chunk = min(prefill_chunk, self.cfg.max_seq_len)
         self._staging_cache_dtype = cache_dtype
-        self.pos = np.zeros(max_batch, np.int64)
+        self.pos = np.zeros(n_phys, np.int64)
         self.slots: list[Request | None] = [None] * max_batch
-        self.last_tok = np.zeros(max_batch, np.int32)
+        self.last_tok = np.zeros(n_phys, np.int32)
         self.waiting: deque[Request] = deque()
         self.requests: dict[int, Request] = {}   # rid -> request (registry)
         self._ids = itertools.count()
         self.key = jax.random.PRNGKey(0)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _prefill_slot(params, tokens, cache, slot, pos, n_valid):
-            """One prefill chunk written straight into slot `slot`'s rows of
-            the shared cache (kv_row path — no staging, no slab copies)."""
-            logits, cache = model.forward(params, tokens, cache, pos,
-                                          cache_row=slot)
-            return logits[:, n_valid - 1], cache
-
         dead_pos = self.cfg.max_seq_len - 1   # never-live dump position
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode(params, tokens, cache, pos_vec, active, key):
+        def _prefill_slot_fn(params, tokens, cache, slot, pos, n_valid,
+                             tp_axis=None, tp_size=1, dp_axis=None):
+            """One prefill chunk written straight into slot `slot`'s rows of
+            the shared cache (kv_row path — no staging, no slab copies)."""
+            if dp_axis is not None:
+                # localize the global slot row; non-owners hit their scratch
+                # row (local index b_loc) instead
+                shard = jax.lax.axis_index(dp_axis)
+                row = slot - shard * (self._b_loc + 1)
+                owner = (row >= 0) & (row < self._b_loc)
+                slot = jnp.where(owner, row, self._b_loc)
+            logits, cache = model.forward(params, tokens, cache, pos,
+                                          cache_row=slot, tp_axis=tp_axis,
+                                          tp_size=tp_size)
+            return logits[:, n_valid - 1], cache
+
+        def _decode_fn(params, tokens, cache, pos_vec, active, key,
+                       tp_axis=None, tp_size=1):
             # inactive/prefilling slots dump their garbage K/V write at the
             # dead last position so they can't clobber a mid-prefill row
             wpos = jnp.where(active, pos_vec, dead_pos)
             logits, cache = model.forward(params, tokens, cache, pos_vec,
-                                          write_pos=wpos)
+                                          write_pos=wpos, tp_axis=tp_axis,
+                                          tp_size=tp_size)
             tok = sample(logits[:, -1], self.sampling, key)
             return tok, cache
 
-        @functools.partial(jax.jit, static_argnames=("n",),
-                           donate_argnums=(2,))
-        def _decode_burst(params, tok0, cache, pos_vec, active, key, n):
+        def _decode_burst_fn(params, tok0, cache, pos_vec, active, key, n,
+                             tp_axis=None, tp_size=1):
             def body(carry, _):
                 tok, cache, pos, key = carry
                 wpos = jnp.where(active, pos, dead_pos)
                 logits, cache = model.forward(params, tok[:, None], cache,
-                                              pos, write_pos=wpos)
+                                              pos, write_pos=wpos,
+                                              tp_axis=tp_axis,
+                                              tp_size=tp_size)
                 key, sub = jax.random.split(key)
                 nxt = sample(logits[:, -1], self.sampling, sub)
                 return (nxt, cache, pos + 1, key), nxt
@@ -110,10 +149,56 @@ class ContinuousBatchingEngine:
                 body, (tok0, cache, pos_vec, key), length=n)
             return toks, cache           # toks: [n, B]
 
-        self._prefill_slot = _prefill_slot
-        self._decode = _decode
-        self._decode_burst = _decode_burst
+        if mesh is None:
+            self._prefill_slot = jax.jit(_prefill_slot_fn,
+                                         donate_argnums=(2,))
+            self._decode = jax.jit(_decode_fn, donate_argnums=(2,))
+            self._decode_burst = jax.jit(
+                functools.partial(_decode_burst_fn),
+                static_argnames=("n",), donate_argnums=(2,))
+        else:
+            from jax.sharding import PartitionSpec as P
+            from zgml_tpu.parallel.tp import (llama_param_specs, shard_map)
+            pspecs = llama_param_specs(model.params)
+            if isinstance(model.params["layers"], (list, tuple)):
+                n_l = len(model.params["layers"])
+                cspecs = {"k": [P("dp", "tp", None, None)] * n_l,
+                          "v": [P("dp", "tp", None, None)] * n_l}
+            else:
+                from zgml_tpu.parallel.tp import cache_specs
+                cspecs = cache_specs()
+            tp_kw = dict(tp_axis="tp" if self.tp > 1 else None,
+                         tp_size=self.tp)
+
+            self._prefill_slot = jax.jit(shard_map(
+                functools.partial(_prefill_slot_fn, dp_axis="dp", **tp_kw),
+                mesh=mesh,
+                in_specs=(pspecs, P(None, None), cspecs, P(), P(), P()),
+                out_specs=(P(None, None), cspecs)), donate_argnums=(2,))
+            self._decode = jax.jit(shard_map(
+                functools.partial(_decode_fn, **tp_kw), mesh=mesh,
+                in_specs=(pspecs, P("dp", None), cspecs, P("dp"), P("dp"),
+                          P()),
+                out_specs=(P("dp"), cspecs)), donate_argnums=(2,))
+
+            def _burst(params, tok0, cache, pos_vec, active, key, n):
+                return shard_map(
+                    functools.partial(_decode_burst_fn, n=n, **tp_kw),
+                    mesh=mesh,
+                    in_specs=(pspecs, P("dp"), cspecs, P("dp"), P("dp"),
+                              P()),
+                    out_specs=(P(None, "dp"), cspecs))(
+                        params, tok0, cache, pos_vec, active, key)
+
+            self._decode_burst = jax.jit(_burst, static_argnames=("n",),
+                                         donate_argnums=(2,))
         self.prefilling: deque = deque()   # _Prefill entries, FIFO
+
+    def _phys(self, slot: int) -> int:
+        """Logical slot -> physical cache row (skips dp scratch rows)."""
+        if self.mesh is None:
+            return slot
+        return (slot // self._b_loc) * (self._b_loc + 1) + slot % self._b_loc
 
     # -- public api ----------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int,
@@ -166,16 +251,17 @@ class ContinuousBatchingEngine:
             with global_profile.phase("serve_prefill"):
                 last, self.cache = self._prefill_slot(
                     self.model.params, jnp.asarray(toks), self.cache,
-                    p.slot, p.pos, n_valid)
+                    self._phys(p.slot), p.pos, n_valid)
             p.pos += n_valid
             if p.pos >= len(p.req.prompt):        # prefill complete
                 self.prefilling.popleft()
                 self.key, sub = jax.random.split(self.key)
                 first = sample(last, self.sampling, sub)
                 p.req.output.append(int(first[0]))
+                ph = self._phys(p.slot)
                 self.slots[p.slot] = p.req
-                self.pos[p.slot] = p.pos
-                self.last_tok[p.slot] = p.req.output[-1]
+                self.pos[ph] = p.pos
+                self.last_tok[ph] = p.req.output[-1]
                 self._maybe_finish(p.slot)
 
     def _maybe_finish(self, slot: int):
@@ -184,10 +270,10 @@ class ContinuousBatchingEngine:
             return
         if (len(req.output) >= req.max_new_tokens
                 or (req.output and req.output[-1] in req.stop_ids)
-                or self.pos[slot] + 1 >= self.cfg.max_seq_len):
+                or self.pos[self._phys(slot)] + 1 >= self.cfg.max_seq_len):
             req.done = True
             self.slots[slot] = None
-            self.pos[slot] = 0
+            self.pos[self._phys(slot)] = 0
 
     def step(self) -> list[tuple[int, int]]:
         """Admit + one prefill chunk + one batched decode step; returns
@@ -199,8 +285,8 @@ class ContinuousBatchingEngine:
             return []
         self.key, sub = jax.random.split(self.key)
         with global_profile.phase("serve_decode"):
-            mask = np.zeros(self.max_batch, bool)
-            mask[active] = True
+            mask = np.zeros(self._n_phys, bool)
+            mask[[self._phys(i) for i in active]] = True
             tok, self.cache = self._decode(
                 self.model.params,
                 jnp.asarray(self.last_tok[:, None]),
@@ -211,11 +297,12 @@ class ContinuousBatchingEngine:
         tok_host = np.asarray(tok)
         out = []
         for i in active:
+            ph = self._phys(i)
             req = self.slots[i]
-            t = int(tok_host[i])
+            t = int(tok_host[ph])
             req.output.append(t)
-            self.pos[i] += 1
-            self.last_tok[i] = t
+            self.pos[ph] += 1
+            self.last_tok[ph] = t
             out.append((req.rid, t))
             self._maybe_finish(i)
         global_profile.add("serve_decode_tokens", len(active))
@@ -238,27 +325,28 @@ class ContinuousBatchingEngine:
             return []
         n = min(n, *(s.max_new_tokens - len(s.output)
                      for s in self.slots if s is not None),
-                int(self.cfg.max_seq_len - 1 - max(self.pos[i]
+                int(self.cfg.max_seq_len - 1 - max(self.pos[self._phys(i)]
                                                    for i in active)))
         if n < 1:
             return self.step()
         n = 1 << (n.bit_length() - 1)   # pow2 buckets: one compile per size
         self.key, sub = jax.random.split(self.key)
         with global_profile.phase("serve_decode"):
-            mask = np.zeros(self.max_batch, bool)
-            mask[active] = True
+            mask = np.zeros(self._n_phys, bool)
+            mask[[self._phys(i) for i in active]] = True
             toks, self.cache = self._decode_burst(
                 self.model.params, jnp.asarray(self.last_tok), self.cache,
                 jnp.asarray(self.pos, jnp.int32), jnp.asarray(mask), sub, n=n)
         toks_host = np.asarray(toks)        # [n, B]
         out = []
         for i in active:
+            ph = self._phys(i)
             req = self.slots[i]
             for step_i in range(n):
-                t = int(toks_host[step_i, i])
+                t = int(toks_host[step_i, ph])
                 req.output.append(t)
-                self.pos[i] += 1
-                self.last_tok[i] = t
+                self.pos[ph] += 1
+                self.last_tok[ph] = t
                 out.append((req.rid, t))
                 if (len(req.output) >= req.max_new_tokens
                         or t in req.stop_ids):
