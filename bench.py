@@ -53,6 +53,9 @@ def main():
                     help="KV cache dtype")
     ap.add_argument("--kernel-profile", action="store_true",
                     help="per-kernel device timing at model shapes (stderr)")
+    ap.add_argument("--conformance", action="store_true",
+                    help="run the pallas-vs-oracle conformance sweep at "
+                         "model dims on THIS backend before benching")
     args = ap.parse_args()
 
     import dataclasses
@@ -113,6 +116,13 @@ def main():
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")
 
     import jax.numpy as jnp
+    conf_pass = conf_total = None
+    if args.conformance:
+        from zgml_tpu.runtime.conformance import render, run_conformance
+        conf = run_conformance(cfg, kv_len=min(192, cfg.max_seq_len - 130))
+        log(render(conf))
+        conf_pass = sum(r["ok"] for r in conf)
+        conf_total = len(conf)
     if args.kernel_profile:
         from zgml_tpu.runtime.ktime import (profile_decode_kernels,
                                             render_kernel_profile)
@@ -209,6 +219,25 @@ def main():
         f"-> achievable {roof['achievable_tok_s']:.1f} tok/s; "
         f"achieved {tg_rate:.1f} ({100*roof_frac:.1f}%)")
 
+    # -- memory acceptance (ref perf-targets.md:226-230: memory <= 115%) -----
+    peak_hbm = model_bytes = mem_frac = None
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_hbm = int(stats.get("peak_bytes_in_use",
+                                 stats.get("bytes_in_use", 0)))
+        from zgml_tpu.runtime.roofline import weight_bytes_per_token
+        model_bytes = int(weight_bytes_per_token(model.params))
+        cache_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
+                          for c in jax.tree.leaves(eng.cache))
+        budget = 1.15 * (model_bytes + cache_bytes)
+        mem_frac = peak_hbm / budget if budget else None
+        log(f"memory: peak HBM {peak_hbm/1e9:.2f} GB vs model "
+            f"{model_bytes/1e9:.2f} GB + cache {cache_bytes/1e9:.2f} GB; "
+            f"peak/(1.15x model+cache) = {mem_frac:.2f} "
+            f"({'ok' if mem_frac <= 1.0 else 'OVER the 115% contract'})")
+    except Exception as e:          # memory_stats absent on some backends
+        log(f"memory stats unavailable: {e}")
+
     # vs_baseline semantics: the reference's only absolute decode number is
     # SmolLM-135M on Apple Silicon (208 tok/s, BASELINE.md) — only comparable
     # for the smollm preset. For 1B/7B shapes the BASELINE gate is the HBM
@@ -229,6 +258,10 @@ def main():
         "roofline_tok_s": round(roof["achievable_tok_s"], 1),
         "hbm_GBs": round(roof["hbm_bandwidth_GBs"], 1),
         "prefill_tok_s": round(pp_rate, 1),
+        **({"peak_hbm_bytes": peak_hbm, "mem_frac_of_115pct": round(mem_frac, 3)}
+           if mem_frac is not None else {}),
+        **({"conformance_pass": conf_pass, "conformance_total": conf_total}
+           if conf_total is not None else {}),
     }))
 
 
