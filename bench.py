@@ -107,10 +107,12 @@ def main():
         from zgml_tpu.io.packed_ckpt import save_packed_llama
         save_packed_llama(packed, model)
         how = "loaded+repacked (cached for next run)"
-    model.params = jax.device_put(model.params)
     from zgml_tpu import config as zconfig
+    # stack BEFORE device_put: stacking jax-array leaves would round-trip
+    # the 4.2GB weights through the host (down + stack + up) over the tunnel
     if zconfig.stack_decode() and model.enable_stacked_decode():
         how += " +stacked-decode megacall"
+    model.params = jax.device_put(model.params)
     log(f"{how} in {time.time()-t0:.1f}s "
         f"(cfg: d={cfg.d_model} L={cfg.n_layers} heads={cfg.n_heads}/"
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")

@@ -86,3 +86,107 @@ def test_engine_int8_cache_cosine_vs_dense(tmp_path):
         s1.append(int(tf[0]))
         s2.append(int(tq[0]))
     assert s1 == s2, (s1, s2)
+
+
+@pytest.mark.parametrize("hq,hkv,tq,kv_len,q_off", [
+    (4, 4, 16, 40, 24), (8, 2, 24, 24, 0), (4, 2, 8, 72, 64)])
+def test_flash_q8_prefill_matches_oracle(hq, hkv, tq, kv_len, q_off):
+    """Prefill flash DIRECTLY over the int8 d-major cache == dequant + dense
+    flash oracle (VERDICT r2 item 7: no full-cache f32 transient)."""
+    from zgml_tpu.ops import dispatch as ops
+    from zgml_tpu.ops.dispatch import force_ref
+    from zgml_tpu.quant.kv_cache import quantize_columns
+    d, s = 64, 128
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, hq, tq, d)) * 0.4, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, hkv, s, d)) * 0.4, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, hkv, s, d)) * 0.4, jnp.float32)
+    kq, ks = quantize_columns(k)
+    vq, vs = quantize_columns(v)
+    got = ops.flash_attention_q8(q, kq, ks, vq, vs, kv_len=kv_len,
+                                 q_offset=q_off)
+    with force_ref():
+        want = ops.flash_attention_q8(q, kq, ks, vq, vs, kv_len=kv_len,
+                                      q_offset=q_off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_flash_q8_kv_row_offset():
+    """Serving prefill-into-slot over the int8 cache reads the right row."""
+    from zgml_tpu.ops import dispatch as ops
+    from zgml_tpu.ops.dispatch import force_ref
+    from zgml_tpu.quant.kv_cache import quantize_columns
+    hq = hkv = 2
+    d, s, tq = 64, 64, 8
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((1, hq, tq, d)) * 0.4, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, hkv, s, d)) * 0.4, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, hkv, s, d)) * 0.4, jnp.float32)
+    kq, ks = quantize_columns(k)
+    vq, vs = quantize_columns(v)
+    got = ops.flash_attention_q8(q, kq, ks, vq, vs, kv_len=32, q_offset=24,
+                                 kv_row=2)
+    with force_ref():
+        want = ops.flash_attention_q8(q, kq, ks, vq, vs, kv_len=32,
+                                      q_offset=24, kv_row=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_scan_layout_int8_cache_matches_unrolled():
+    """Stacked (lax.scan) layers with the stacked int8 tuple cache ==
+    unrolled layers with per-layer int8 caches (VERDICT r2 item 7:
+    scan-cache int8 layout)."""
+    from zgml_tpu.models.llama import LlamaConfig, LlamaModel, init_params
+    cfg = LlamaConfig(vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, n_layers=3, max_seq_len=32)
+    stacked = LlamaModel(cfg, init_params(cfg, seed=6))
+    # unrolled view of the same params
+    unrolled_layers = [
+        {k: v[i] for k, v in stacked.params["layers"].items()}
+        for i in range(cfg.n_layers)]
+    unrolled = LlamaModel(cfg, {**stacked.params, "layers": unrolled_layers})
+
+    toks = jnp.asarray([[5, 9, 2, 6, 5, 3]], jnp.int32)
+    c_s = stacked.init_cache(1, "int8")
+    assert isinstance(c_s["k"], tuple) and c_s["k"][0].ndim == 5
+    l_s, c_s = stacked.forward(stacked.params, toks, c_s, 0)
+    c_u = unrolled.init_cache(1, "int8")
+    assert isinstance(c_u["k"], list)
+    l_u, c_u = unrolled.forward(unrolled.params, toks, c_u, 0)
+    np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_u),
+                               rtol=2e-2, atol=2e-2)
+    # decode step over the scan int8 cache
+    d_s, c_s = stacked.forward(stacked.params, jnp.asarray([[7]]), c_s, 6)
+    d_u, _ = unrolled.forward(unrolled.params, jnp.asarray([[7]]), c_u, 6)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_u),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_prefill_cp_int8_cache():
+    """Context-parallel prefill into an int8 cache: the gathered K/V are
+    quantized per position; decode continues over the quantized cache."""
+    import jax as _jax
+    from zgml_tpu.models.llama import LlamaConfig, LlamaModel, init_params
+    from zgml_tpu.parallel import make_mesh
+    from zgml_tpu.runtime.engine import LlamaEngine
+    cfg = LlamaConfig(vocab_size=128, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, n_layers=2, max_seq_len=128)
+    model = LlamaModel(cfg, init_params(cfg, seed=11))
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, 128, 96).astype(np.int32)
+    mesh = make_mesh(tp=8, dp=1, axis_names=("dp", "cp"))
+
+    eng = LlamaEngine(model, batch=1, cache_dtype="int8", donate_cache=False)
+    last = eng.prefill_cp(prompt, mesh)
+
+    ref = LlamaEngine(model, batch=1, cache_dtype="int8", donate_cache=False)
+    ref_last = ref.prefill(prompt)
+    a, b = np.asarray(last).ravel(), np.asarray(ref_last).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos >= 0.99, cos
+    # decode agreement from the cp-filled int8 cache
+    t1, _ = eng.step(np.array([3]))
+    t2, _ = ref.step(np.array([3]))
+    assert int(t1[0]) == int(t2[0])

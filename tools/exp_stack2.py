@@ -27,16 +27,16 @@ print("devices:", jax.devices(), flush=True)
 model = load_packed_llama(path)
 cfg = dataclasses.replace(model.cfg, max_seq_len=512)
 model.cfg = cfg
+ok = model.enable_stacked_decode()     # host-side stack BEFORE device_put
+print("stacked views:", ok, flush=True)
 model.params = jax.device_put(model.params)
 jax.block_until_ready(jax.tree.leaves(model.params)[0])
 
 # unrolled variant: same weight arrays, no stacked views
-un_params = dict(model.params)
+un_params = {k: v for k, v in model.params.items() if k != "layers_stacked"}
 model_un = LlamaModel(cfg, un_params)
 cache_un = model_un.init_cache(1)
 
-ok = model.enable_stacked_decode()
-print("stacked views:", ok, flush=True)
 stacked = model.params["layers_stacked"]
 cache_st = model.init_cache(1)
 jax.block_until_ready(jax.tree.leaves(stacked)[0])

@@ -375,8 +375,7 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
 
     if isinstance(cache_k, tuple):
         # int8 quantized KV cache: (k_q, k_s) / (v_q, v_s) d-major slabs
-        from zgml_tpu.quant.kv_cache import (dequantize_cache,
-                                             quantize_columns, write_columns)
+        from zgml_tpu.quant.kv_cache import quantize_columns, write_columns
         kq_new, ks_new = quantize_columns(k)
         vq_new, vs_new = quantize_columns(v)
         if cache_row is not None:
@@ -389,11 +388,10 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                 else (cache_row, 0, pos))     # scales are [B, H, S]
             cache_k = (dus4(cache_k[0], kq_new), dus4(cache_k[1], ks_new))
             cache_v = (dus4(cache_v[0], vq_new), dus4(cache_v[1], vs_new))
-            row = lambda c: jax.lax.dynamic_slice_in_dim(       # noqa: E731
-                c, cache_row, 1, axis=0)
-            kf = dequantize_cache(row(cache_k[0]), row(cache_k[1]))
-            vf = dequantize_cache(row(cache_v[0]), row(cache_v[1]))
-            att = ops.flash_attention(q, kf, vf, kv_len=kv_len, q_offset=pos)
+            att = ops.flash_attention_q8(q, cache_k[0], cache_k[1],
+                                         cache_v[0], cache_v[1],
+                                         kv_len=kv_len, q_offset=pos,
+                                         kv_row=cache_row)
         elif per_row:
             dus = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(
                 c, u, (0, 0, p) if u.ndim == 3 else (0, p)))
@@ -406,11 +404,11 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             att = ops.decode_attention_q8(q, cache_k[0], cache_k[1],
                                           cache_v[0], cache_v[1], kv_len)
         else:
-            # prefill: dequantize the cache (XLA) and run flash; transient
-            # f32 copy is per-layer and amortized over the chunk
-            kf = dequantize_cache(cache_k[0], cache_k[1])
-            vf = dequantize_cache(cache_v[0], cache_v[1])
-            att = ops.flash_attention(q, kf, vf, kv_len=kv_len, q_offset=pos)
+            # prefill: flash DIRECTLY over the int8 cache (both MXU dots
+            # consume the d-major layout natively; no f32 cache transient)
+            att = ops.flash_attention_q8(q, cache_k[0], cache_k[1],
+                                         cache_v[0], cache_v[1],
+                                         kv_len=kv_len, q_offset=pos)
     elif cache_row is not None:
         # serving prefill-into-slot: x is batch-1 but the cache is the full
         # [B', Hkv, S, d] shared slab; write this request's K/V at its slot
@@ -520,6 +518,17 @@ class LlamaModel:
         """
         c = self.cfg
         if dtype == "int8" or dtype is jnp.int8:
+            if (not isinstance(self.params.get("layers"), (list, tuple))
+                    and "layers_stacked" not in self.params):
+                # scan layout: one stacked [L, ...] leaf pair per cache; the
+                # lax.scan over layers slices each layer's (q, scales) tuple
+                qs = (c.n_layers, batch, c.n_kv_heads, c.head_dim,
+                      c.max_seq_len)
+                ss = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len)
+                return {"k": (jnp.zeros(qs, jnp.int8),
+                              jnp.ones(ss, jnp.float32)),
+                        "v": (jnp.zeros(qs, jnp.int8),
+                              jnp.ones(ss, jnp.float32))}
             from zgml_tpu.quant.kv_cache import init_quant_cache
             qc = init_quant_cache(c.n_layers, batch, c.n_kv_heads,
                                   c.max_seq_len, c.head_dim)

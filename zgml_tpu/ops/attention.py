@@ -500,3 +500,163 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                   dyn=_dyngrid())
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
     return out.reshape(b, hq, 1, d)
+
+
+# -- prefill flash attention DIRECTLY over int8 quantized KV ------------------
+
+def _flash_q8_kernel(lens_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                     o_ref, m_ref, l_ref, acc_ref,
+                     *, bq: int, bk: int, scale: float,
+                     bf16: bool = True):
+    """Blockwise causal flash over the d-major int8 cache: both contractions
+    consume the cache layout natively (scores contract d in sublanes, P.V
+    contracts the position axis), so there is NO in-kernel transpose and the
+    per-position scales factor out of the dots — per-element VPU work is
+    score-sized O(bq*bk), not cache-sized O(d*bk). ref: attentionQuantized
+    (src/quant.zig:925-1091) generalized to multi-query prefill."""
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    n_kb = pl.num_programs(2)
+    kv_len = lens_ref[0]
+    q_off = lens_ref[1]
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_abs_max = q_off + (qb + 1) * bq - 1
+    block_live = (kb * bk <= q_abs_max) & (kb * bk < kv_len)
+
+    @pl.when(block_live)
+    def _():
+        mxu = jnp.bfloat16 if bf16 else jnp.float32
+        q = q_ref[0].astype(mxu)                    # [bq, d]
+        kqb = kq_ref[0].astype(mxu)                 # [d, bk] (d-major!)
+        s = jax.lax.dot_general(q, kqb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (ks_ref[0] * scale)                 # [1, bk] col scales
+        ki = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
+        qi = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qb * bq + q_off
+        s = jnp.where((ki < kv_len) & (ki <= qi), s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = p * vs_ref[0]                          # fold V scales into p
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv.astype(mxu), vq_ref[0].astype(mxu),
+            (((1,), (1,)), ((), ())),               # contract positions
+            preferred_element_type=jnp.float32)     # -> [bq, d]
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk",
+                                             "scale", "bf16", "dyn"))
+def _flash_q8(q, kq, ks, vq, vs, lens, *, hq: int, n_rep: int, bq: int,
+              bk: int, scale: float, bf16: bool = True, dyn: bool = True):
+    """q [B*Hq, Tq, d]; kq/vq int8 [B*Hkv, d, S]; ks/vs f32 [B, Hkv, S];
+    lens = (kv_len, q_off, kv_row). Clamped KV maps: traffic ∝ kv_len."""
+    bhq, tq, d = q.shape
+    bhkv, _, s = kq.shape
+    n_qb = tq // bq
+    hkv = hq // n_rep
+    if dyn:
+        live = jnp.minimum(
+            jnp.asarray(s, jnp.int32),
+            jnp.maximum(lens[0], lens[1] + tq).astype(jnp.int32))
+        n_kb = jnp.clip((live + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
+    else:
+        n_kb = s // bk
+
+    def kv_index(h, qb_, kb_, lens_ref):
+        live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
+        last_kb = jnp.maximum(live_end - 1, 0) // bk
+        return ((lens_ref[2] + h // hq) * hkv + (h % hq) // n_rep,
+                0, jnp.minimum(kb_, last_kb))
+
+    def sc_index(h, qb_, kb_, lens_ref):
+        live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
+        last_kb = jnp.maximum(live_end - 1, 0) // bk
+        return (lens_ref[2] + h // hq, (h % hq) // n_rep,
+                jnp.minimum(kb_, last_kb))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bhq, n_qb, n_kb),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
+            pl.BlockSpec((1, d, bk), kv_index),
+            pl.BlockSpec((1, 1, bk), sc_index),
+            pl.BlockSpec((1, d, bk), kv_index),
+            pl.BlockSpec((1, 1, bk), sc_index),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d),
+                               lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flash_q8_kernel, bq=bq, bk=bk, scale=scale,
+                          bf16=bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
+        interpret=_interpret(),
+    )(lens, q, kq, ks, vq, vs)
+
+
+def flash_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs,
+                              kv_len=None, q_offset=0,
+                              bq: int = 128, bk: int = 256,
+                              kv_row=None) -> jax.Array:
+    """Prefill flash attention over the int8 d-major KV cache.
+
+    q [B,Hq,Tq,d] f32; kq/vq int8 [B',Hkv,d,S]; ks/vs f32 [B',Hkv,S].
+    Causal with q_offset; kv_row selects a batch row of a larger cache
+    (serving prefill-into-slot). Inference-only (no VJP: training uses the
+    dense cache)."""
+    b, hq, tq, d = q.shape
+    _, hkv, _, s = kq.shape
+    n_rep = hq // hkv
+    if kv_row is None:
+        kv_row = 0
+    else:
+        assert b == 1, "kv_row requires a batch-1 query"
+    if kv_len is None:
+        kv_len = s
+    tq_pad = tq
+    bq_eff = min(bq, tq)
+    while tq_pad % bq_eff:
+        if bq_eff % 2 == 0 and (bq_eff // 2) % 8 == 0 \
+                and tq % (bq_eff // 2) == 0:
+            bq_eff //= 2
+        else:
+            tq_pad = (tq + bq_eff - 1) // bq_eff * bq_eff
+    qp = q if tq_pad == tq else jnp.pad(
+        q, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+    bk_eff = min(bk, s)
+    while s % bk_eff:
+        bk_eff //= 2
+    lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
+                      jnp.asarray(q_offset, jnp.int32).reshape(()),
+                      jnp.asarray(kv_row, jnp.int32).reshape(())])
+    out = _flash_q8(
+        qp.reshape(b * hq, tq_pad, d).astype(jnp.float32),
+        kq.reshape(-1, d, s), ks.reshape(-1, hkv, s),
+        vq.reshape(-1, d, s), vs.reshape(-1, hkv, s), lens,
+        hq=hq, n_rep=n_rep, bq=bq_eff, bk=bk_eff, scale=1.0 / (d ** 0.5),
+        bf16=config.prefill_bf16(), dyn=_dyngrid())
+    out = out.reshape(b, hq, tq_pad, d)[:, :, :tq]
+    return out.astype(q.dtype)

@@ -173,6 +173,24 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return refs.gqa_attention_ref(q, k, v, mask[None, None])
 
 
+def flash_attention_q8(q: jax.Array, kq, ks, vq, vs, kv_len=None,
+                       q_offset=0, kv_row=None) -> jax.Array:
+    """Prefill flash attention DIRECTLY over the int8 d-major KV cache —
+    no full-cache f32 dequant transient (ref: attentionQuantized,
+    quant.zig:925-1091). q [B,Hq,Tq,d]; kq/vq int8 [B',Hkv,d,S]."""
+    if use_pallas("attention"):
+        from zgml_tpu.ops.attention import flash_attention_q8_pallas
+        _count("flash_attention_q8", "pallas")
+        return flash_attention_q8_pallas(q, kq, ks, vq, vs, kv_len,
+                                         q_offset, kv_row=kv_row)
+    _count("flash_attention_q8", "ref")
+    from zgml_tpu.quant.kv_cache import dequantize_cache
+    k = dequantize_cache(kq, ks)
+    v = dequantize_cache(vq, vs)
+    return flash_attention(q, k, v, kv_len=kv_len, q_offset=q_offset,
+                           kv_row=kv_row)
+
+
 def decode_attention_q8(q: jax.Array, kq, ks, vq, vs, kv_len) -> jax.Array:
     """Decode attention directly over the int8 KV cache (d-major layout,
     see zgml_tpu/quant/kv_cache.py). ref: attentionQuantized, quant.zig:925."""

@@ -119,7 +119,8 @@ class LlamaEngine:
         the cp devices (parallel/cp.py); the gathered per-layer KV lands in
         this engine's cache and decode continues on the normal path. Enables
         prefilling prompts whose attention working set exceeds one chip.
-        Requires a fresh session (pos == 0) and a bf16 cache.
+        Requires a fresh session (pos == 0). int8 caches are quantized from
+        the gathered dense K/V (per-position scales).
         """
         tokens = np.atleast_2d(np.asarray(tokens, np.int32))
         b, t = tokens.shape
@@ -129,8 +130,8 @@ class LlamaEngine:
         if t > self.cfg.max_seq_len:
             raise ValueError("SequenceTooLong")
         ck = self.cache["k"]
-        if isinstance(ck, list) and isinstance(ck[0], tuple):
-            raise NotImplementedError("prefill_cp with int8 KV cache")
+        int8_cache = ((isinstance(ck, list) and isinstance(ck[0], tuple))
+                      or isinstance(ck, tuple))
         from zgml_tpu.parallel.cp import make_cp_prefill
         cp = mesh.shape[axis]
         t_pad = -(-t // cp) * cp
@@ -142,7 +143,38 @@ class LlamaEngine:
             logits, ks, vs = self._cp_plan[1](self.model.params,
                                               jnp.asarray(toks))
             ks, vs = ks[:, :, :, :t], vs[:, :, :, :t]
-            if isinstance(ck, list):
+            if int8_cache:
+                # quantize the gathered dense K/V into the int8 columns
+                # (per-position scales, quant/kv_cache.py)
+                from zgml_tpu.quant.kv_cache import (quantize_columns,
+                                                     write_columns)
+                if isinstance(ck, list):
+                    for li in range(self.cfg.n_layers):
+                        # ks[li]: [B, Hkv, T, d] -> columns at pos 0
+                        kq, ksc = quantize_columns(
+                            ks[li].astype(jnp.float32))
+                        vq, vsc = quantize_columns(
+                            vs[li].astype(jnp.float32))
+                        self.cache["k"][li] = write_columns(
+                            ck[li][0], ck[li][1], kq, ksc, 0)
+                        self.cache["v"][li] = write_columns(
+                            self.cache["v"][li][0], self.cache["v"][li][1],
+                            vq, vsc, 0)
+                else:
+                    # stacked tuple cache [L, B, Hkv, d, S]
+                    kq, ksc = jax.vmap(
+                        lambda a: quantize_columns(a.astype(jnp.float32)))(ks)
+                    vq, vsc = jax.vmap(
+                        lambda a: quantize_columns(a.astype(jnp.float32)))(vs)
+                    dus = jax.lax.dynamic_update_slice
+                    self.cache["k"] = (
+                        dus(ck[0], kq, (0, 0, 0, 0, 0)),
+                        dus(ck[1], ksc, (0, 0, 0, 0)))
+                    cv = self.cache["v"]
+                    self.cache["v"] = (
+                        dus(cv[0], vq, (0, 0, 0, 0, 0)),
+                        dus(cv[1], vsc, (0, 0, 0, 0)))
+            elif isinstance(ck, list):
                 for li in range(self.cfg.n_layers):
                     self.cache["k"][li] = jax.lax.dynamic_update_slice_in_dim(
                         self.cache["k"][li], ks[li].astype(ck[li].dtype),
