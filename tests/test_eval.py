@@ -57,3 +57,18 @@ def test_windowing_consistency(models):
     p1 = perplexity(dense, toks, window=63)
     p2 = perplexity(dense, toks, window=63)
     assert abs(p1 - p2) < 1e-6
+
+
+def test_int8_kv_ppl_drift_bounded(models):
+    """Model-level int8-KV accuracy gate (ADVICE r2): perplexity over the
+    int8 per-position-scale cache within a tight delta of the bf16 cache on
+    the SAME weights — bounds the widened-scale RMSE end-to-end."""
+    dense, _, _ = models
+    rng = np.random.default_rng(7)
+    toks = rng.integers(0, TINY_TEST.vocab_size, 200).astype(np.int32)
+    pa, pb, delta = ppl_delta(dense, dense, toks, window=32,
+                              cache_dtype_b="int8")
+    # relative gate: the synthetic model's ppl ~ vocab; int8 KV noise must
+    # stay within 1% of it (the Q8_0 weight gate is 0.05 on ~5-10 ppl real
+    # models ~ 0.5-1%)
+    assert delta / pa <= 0.01, (pa, pb, delta)

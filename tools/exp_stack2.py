@@ -63,10 +63,12 @@ from zgml_tpu.ops.stackkernel import stacked_decode_step       # noqa: E402
 from zgml_tpu.ops import refs                                  # noqa: E402
 
 
-def kernel_st(x, ck, cv, p):
+def kernel_st(x, st, ck, cv, p):
+    # st passed as an ARG: a closed-over device array would be baked into
+    # the lowering as a 4GB captured constant (duplicate HBM)
     cos, sin = refs.rope_cos_sin(p + jnp.arange(1), cfg.head_dim,
                                  cfg.rope_base)
-    out, ck2, cv2 = stacked_decode_step(cfg, stacked, x, ck, cv, p, cos, sin)
+    out, ck2, cv2 = stacked_decode_step(cfg, st, x, ck, cv, p, cos, sin)
     return out
 
 
@@ -84,10 +86,10 @@ def chain_un(x, params, cache):
 r = time_ab({
     "full_unrolled": (full_un, x0, un_params, cache_un),
     "full_stacked": (full_st, x0, model.params, cache_st),
-    "kernel_stacked": (kernel_st, x0, cache_st["k"], cache_st["v"],
+    "kernel_stacked": (kernel_st, x0, stacked, cache_st["k"], cache_st["v"],
                        jnp.asarray(pos, jnp.int32)),
-    "kernel_stacked_pos1": (kernel_st, x0, cache_st["k"], cache_st["v"],
-                            jnp.asarray(1, jnp.int32)),
+    "kernel_stacked_pos1": (kernel_st, x0, stacked, cache_st["k"],
+                            cache_st["v"], jnp.asarray(1, jnp.int32)),
     "chain_unrolled": (chain_un, x0, un_params, cache_un),
 }, reps=8, reps2=32, rounds=4)
 

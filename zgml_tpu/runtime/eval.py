@@ -19,10 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def window_nll(model, tokens: jax.Array) -> tuple[float, int]:
+def window_nll(model, tokens: jax.Array,
+               cache_dtype=jnp.bfloat16) -> tuple[float, int]:
     """Sum NLL (nats) + count over one [T] window, scored with full context."""
     toks = jnp.asarray(tokens, jnp.int32)[None, :]
-    cache = model.init_cache(1)
+    cache = model.init_cache(1, cache_dtype)
     logits, _ = model.forward(model.params, toks, cache, 0)
     logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
     tgt = toks[0, 1:]
@@ -30,7 +31,8 @@ def window_nll(model, tokens: jax.Array) -> tuple[float, int]:
     return float(jnp.sum(nll)), int(tgt.shape[0])
 
 
-def perplexity(model, tokens: np.ndarray, window: int = 256) -> float:
+def perplexity(model, tokens: np.ndarray, window: int = 256,
+               cache_dtype=jnp.bfloat16) -> float:
     """ppl = exp(mean nll) over non-overlapping windows."""
     tokens = np.asarray(tokens)
     total, count = 0.0, 0
@@ -41,15 +43,18 @@ def perplexity(model, tokens: np.ndarray, window: int = 256) -> float:
         chunk = tokens[i:i + window + 1]
         if len(chunk) < 2:
             break
-        nll, n = window_nll(model, chunk)
+        nll, n = window_nll(model, chunk, cache_dtype)
         total += nll
         count += n
     return math.exp(total / max(1, count))
 
 
-def ppl_delta(model_a, model_b, tokens: np.ndarray, window: int = 256
+def ppl_delta(model_a, model_b, tokens: np.ndarray, window: int = 256,
+              cache_dtype_a=jnp.bfloat16, cache_dtype_b=jnp.bfloat16
               ) -> tuple[float, float, float]:
-    """Returns (ppl_a, ppl_b, |delta|)."""
-    pa = perplexity(model_a, tokens, window)
-    pb = perplexity(model_b, tokens, window)
+    """Returns (ppl_a, ppl_b, |delta|). cache_dtype_b="int8" gates the
+    int8-KV drift at the model level (ADVICE r2: the per-position-scale
+    widening must be bounded end-to-end, not just per-op)."""
+    pa = perplexity(model_a, tokens, window, cache_dtype_a)
+    pb = perplexity(model_b, tokens, window, cache_dtype_b)
     return pa, pb, abs(pa - pb)
