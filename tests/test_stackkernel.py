@@ -11,6 +11,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _force_stack_decode(monkeypatch):
+    # the megacall is default-OFF (measured slower than the per-layer fused
+    # path at 7B, PARITY.md) — force it on so these conformance tests keep
+    # exercising the kernel
+    monkeypatch.setenv("ZGML_TPU_STACK_DECODE", "1")
+
 from zgml_tpu.io.gguf import GGMLType
 from zgml_tpu.io.llama_loader import load_llama
 from zgml_tpu.models.llama import LlamaConfig
@@ -76,7 +84,7 @@ def test_stacked_gate_falls_back(models, monkeypatch):
     e = LlamaEngine(stacked)
     e.prefill([1, 5, 9])
     _, lg = e.step([2])
-    monkeypatch.delenv("ZGML_TPU_STACK_DECODE")
+    monkeypatch.setenv("ZGML_TPU_STACK_DECODE", "1")
     e2 = LlamaEngine(stacked)
     e2.prefill([1, 5, 9])
     _, lg2 = e2.step([2])

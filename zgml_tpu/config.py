@@ -61,6 +61,26 @@ def kernels_forced() -> frozenset[str]:
     return _names("ZGML_TPU_KERNELS_FORCE")
 
 
+def force_kernels(names: str):
+    """Context manager: temporarily opt ops into the Pallas tier (the
+    ZGML_TPU_KERNELS_FORCE list) for a scoped block — the conformance
+    harness uses it to exercise default-XLA ops' kernels."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        saved = os.environ.get("ZGML_TPU_KERNELS_FORCE")
+        os.environ["ZGML_TPU_KERNELS_FORCE"] = names
+        try:
+            yield
+        finally:
+            if saved is None:
+                os.environ.pop("ZGML_TPU_KERNELS_FORCE", None)
+            else:
+                os.environ["ZGML_TPU_KERNELS_FORCE"] = saved
+    return _ctx()
+
+
 def interpret() -> bool:
     """Run every Pallas kernel in interpret mode (CPU CI; exact semantics,
     no Mosaic)."""
@@ -78,8 +98,10 @@ def layer_ffn() -> bool:
 
 def stack_decode() -> bool:
     """All-layers decode megacall (ops/stackkernel.py): one Pallas call per
-    token for the entire layer stack."""
-    return _flag("ZGML_TPU_STACK_DECODE", "1")
+    token for the entire layer stack. Default OFF: measured slower than the
+    per-layer fused path at 7B (75.8% vs 82.9% of roofline — per-phase
+    operands share one VMEM window, crunching tile sizes; PARITY.md)."""
+    return _flag("ZGML_TPU_STACK_DECODE", "0")
 
 
 def attn_i8a(dp: int) -> bool:

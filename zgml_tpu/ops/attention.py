@@ -564,7 +564,10 @@ def _flash_q8_kernel(lens_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                                              "scale", "bf16", "dyn"))
 def _flash_q8(q, kq, ks, vq, vs, lens, *, hq: int, n_rep: int, bq: int,
               bk: int, scale: float, bf16: bool = True, dyn: bool = True):
-    """q [B*Hq, Tq, d]; kq/vq int8 [B*Hkv, d, S]; ks/vs f32 [B, Hkv, S];
+    """q [B*Hq, Tq, d]; kq/vq int8 [B*Hkv, d, S]; ks/vs f32 [B*Hkv, 1, S]
+    (scales row-flattened so the block's last-two dims (1, bk) match the
+    array — Mosaic requires the second-to-last block dim be 8-divisible or
+    full, and a (1, bk) block over [B, Hkv, S] is neither when Hkv > 1);
     lens = (kv_len, q_off, kv_row). Clamped KV maps: traffic ∝ kv_len."""
     bhq, tq, d = q.shape
     bhkv, _, s = kq.shape
@@ -584,21 +587,15 @@ def _flash_q8(q, kq, ks, vq, vs, lens, *, hq: int, n_rep: int, bq: int,
         return ((lens_ref[2] + h // hq) * hkv + (h % hq) // n_rep,
                 0, jnp.minimum(kb_, last_kb))
 
-    def sc_index(h, qb_, kb_, lens_ref):
-        live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
-        last_kb = jnp.maximum(live_end - 1, 0) // bk
-        return (lens_ref[2] + h // hq, (h % hq) // n_rep,
-                jnp.minimum(kb_, last_kb))
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bhq, n_qb, n_kb),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
             pl.BlockSpec((1, d, bk), kv_index),
-            pl.BlockSpec((1, 1, bk), sc_index),
+            pl.BlockSpec((1, 1, bk), kv_index),
             pl.BlockSpec((1, d, bk), kv_index),
-            pl.BlockSpec((1, 1, bk), sc_index),
+            pl.BlockSpec((1, 1, bk), kv_index),
         ],
         out_specs=pl.BlockSpec((1, bq, d),
                                lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
@@ -654,8 +651,8 @@ def flash_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs,
                       jnp.asarray(kv_row, jnp.int32).reshape(())])
     out = _flash_q8(
         qp.reshape(b * hq, tq_pad, d).astype(jnp.float32),
-        kq.reshape(-1, d, s), ks.reshape(-1, hkv, s),
-        vq.reshape(-1, d, s), vs.reshape(-1, hkv, s), lens,
+        kq.reshape(-1, d, s), ks.reshape(-1, 1, s),
+        vq.reshape(-1, d, s), vs.reshape(-1, 1, s), lens,
         hq=hq, n_rep=n_rep, bq=bq_eff, bk=bk_eff, scale=1.0 / (d ** 0.5),
         bf16=config.prefill_bf16(), dyn=_dyngrid())
     out = out.reshape(b, hq, tq_pad, d)[:, :, :tq]

@@ -109,19 +109,12 @@ def run_conformance(cfg: LlamaConfig, kv_len: int = 192,
                     check("fused_ffn_norm_q4n", got, want, 2e-2)
 
     # rmsnorm kernel (off by default; forced here for conformance)
-    import os
-    saved = os.environ.get("ZGML_TPU_KERNELS_FORCE")
-    os.environ["ZGML_TPU_KERNELS_FORCE"] = "rmsnorm"
-    try:
+    from zgml_tpu import config
+    with config.force_kernels("rmsnorm"):
         g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
         xx = jnp.asarray(rng.standard_normal((1, 8, d)), jnp.float32)
         got = ops.rmsnorm(xx, g, 1e-5)
         check("rmsnorm", got, refs.rmsnorm_ref(xx, g, 1e-5), 1e-4)
-    finally:
-        if saved is None:
-            os.environ.pop("ZGML_TPU_KERNELS_FORCE", None)
-        else:
-            os.environ["ZGML_TPU_KERNELS_FORCE"] = saved
 
     # attention: prefill flash, decode bf16, decode int8-KV
     s_len = max(kv_len + 129, 256)
@@ -152,6 +145,18 @@ def run_conformance(cfg: LlamaConfig, kv_len: int = 192,
     with force_ref():
         want = ops.decode_attention_q8(q1, kq, ks, vq, vs, kv_len)
     check("decode_attention_q8", got, want, 3e-2)
+
+    # int8-KV flash PREFILL (chunk attends over the quantized cache): this
+    # kernel's scale blocks are legal only in the row-flattened layout —
+    # the sweep runs it at real head counts so a Mosaic block-shape
+    # regression fails here, not mid-bench (caught live: round-3 bench
+    # crashed at hkv=32 before this entry existed)
+    got = ops.flash_attention_q8(qm, kq, ks, vq, vs, kv_len=kv_len + 128,
+                                 q_offset=kv_len)
+    with force_ref():
+        want = ops.flash_attention_q8(qm, kq, ks, vq, vs,
+                                      kv_len=kv_len + 128, q_offset=kv_len)
+    check("flash_attention_q8_pp128", got, want, 3e-2)
 
     # fused attention-block megakernel vs the composed dispatch-ref step
     layer = _mk_layer(cfg, "q4_0", rng)
