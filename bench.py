@@ -108,9 +108,15 @@ def main():
         save_packed_llama(packed, model)
         how = "loaded+repacked (cached for next run)"
     from zgml_tpu import config as zconfig
-    # stack BEFORE device_put: stacking jax-array leaves would round-trip
-    # the 4.2GB weights through the host (down + stack + up) over the tunnel
-    if zconfig.stack_decode() and model.enable_stacked_decode():
+    # tape/stack BEFORE device_put: building from jax-array leaves would
+    # round-trip the 4.2GB weights through the host over the tunnel
+    if zconfig.tape_decode() and "layers_tape" in model.params:
+        how += " +tape-decode megacall (mmap)"
+    elif zconfig.tape_decode() and model.enable_tape_decode():
+        how += " +tape-decode megacall (built; cached for next run)"
+        from zgml_tpu.io.packed_ckpt import save_packed_llama
+        save_packed_llama(packed, model)    # persist the tape: mmap next time
+    elif zconfig.stack_decode() and model.enable_stacked_decode():
         how += " +stacked-decode megacall"
     model.params = jax.device_put(model.params)
     log(f"{how} in {time.time()-t0:.1f}s "
@@ -227,16 +233,23 @@ def main():
         stats = jax.local_devices()[0].memory_stats() or {}
         peak_hbm = int(stats.get("peak_bytes_in_use",
                                  stats.get("bytes_in_use", 0)))
-        from zgml_tpu.runtime.roofline import weight_bytes_per_token
-        model_bytes = int(weight_bytes_per_token(model.params))
-        cache_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
-                          for c in jax.tree.leaves(eng.cache))
-        budget = 1.15 * (model_bytes + cache_bytes)
-        mem_frac = peak_hbm / budget if budget else None
-        log(f"memory: peak HBM {peak_hbm/1e9:.2f} GB vs model "
-            f"{model_bytes/1e9:.2f} GB + cache {cache_bytes/1e9:.2f} GB; "
-            f"peak/(1.15x model+cache) = {mem_frac:.2f} "
-            f"({'ok' if mem_frac <= 1.0 else 'OVER the 115% contract'})")
+        if peak_hbm <= 0:
+            # some backends (the tunneled axon platform) expose memory_stats
+            # but report zeros — treat as unavailable, not as 0 GB used
+            peak_hbm = mem_frac = None
+            log("memory: peak HBM unavailable on this backend "
+                "(memory_stats reports 0)")
+        else:
+            from zgml_tpu.runtime.roofline import weight_bytes_per_token
+            model_bytes = int(weight_bytes_per_token(model.params))
+            cache_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
+                              for c in jax.tree.leaves(eng.cache))
+            budget = 1.15 * (model_bytes + cache_bytes)
+            mem_frac = peak_hbm / budget if budget else None
+            log(f"memory: peak HBM {peak_hbm/1e9:.2f} GB vs model "
+                f"{model_bytes/1e9:.2f} GB + cache {cache_bytes/1e9:.2f} GB; "
+                f"peak/(1.15x model+cache) = {mem_frac:.2f} "
+                f"({'ok' if mem_frac <= 1.0 else 'OVER the 115% contract'})")
     except Exception as e:          # memory_stats absent on some backends
         log(f"memory stats unavailable: {e}")
 

@@ -18,7 +18,8 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_INTERPRET=1           interpret()        Pallas interpret mode (CPU tests)
   ZGML_TPU_ATTN_BLOCK=0          attn_block()       disable the fused layer kernels
   ZGML_TPU_LAYER_FFN=1           layer_ffn()        merge the FFN into the layer kernel
-  ZGML_TPU_STACK_DECODE=0        stack_decode()     disable the all-layers decode megacall
+  ZGML_TPU_STACK_DECODE=1        stack_decode()     all-layers stacked decode megacall
+  ZGML_TPU_TAPE_DECODE=0         tape_decode()      disable the tape-streamed decode megacall
   ZGML_TPU_ATTN_I8A=0/1          attn_i8a(dp)       int8 A-phase (default: on iff dp>=4096)
   ZGML_TPU_ATTN_I8PV=1           attn_i8pv()        int8 P.V dot in q8 decode attention
   ZGML_TPU_I8DOT=0               i8dot()            disable int8-dot qmatmul tier
@@ -96,6 +97,13 @@ def layer_ffn() -> bool:
     return _get("ZGML_TPU_LAYER_FFN", "0") == "1"
 
 
+def tape_decode() -> bool:
+    """Tape-streamed whole-stack decode megacall (ops/tapekernel.py): all
+    layers' weights stream through one manually-DMA'd VMEM window, one
+    Pallas call per token."""
+    return _flag("ZGML_TPU_TAPE_DECODE", "1")
+
+
 def stack_decode() -> bool:
     """All-layers decode megacall (ops/stackkernel.py): one Pallas call per
     token for the entire layer stack. Default OFF: measured slower than the
@@ -160,6 +168,7 @@ def snapshot(dp_hint: int = 4096) -> dict:
         "attn_block": attn_block(),
         "layer_ffn": layer_ffn(),
         "stack_decode": stack_decode(),
+        "tape_decode": tape_decode(),
         "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
         "attn_i8pv": attn_i8pv(),
         "i8dot": i8dot(),

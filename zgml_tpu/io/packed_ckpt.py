@@ -27,10 +27,20 @@ _PW_AUX = ("kind", "n", "k", "n_pad", "k_pad")
 def _flatten_params(params, prefix="", out=None, meta=None):
     out = {} if out is None else out
     meta = {} if meta is None else meta
+    from zgml_tpu.ops.tapekernel import Tape
     from zgml_tpu.quant.headmajor import DERIVED_KEYS, HeadPacked
     if isinstance(params, HeadPacked) or \
             prefix.split(".")[-1] in DERIVED_KEYS:
         return out, meta                 # derived view; re-attached at load
+    if isinstance(params, Tape):
+        # the decode tape is expensive to build (minutes of host transposes
+        # at 7B) but cheap to mmap — persist it alongside the planar weights
+        out[prefix + ".wtape"] = np.asarray(params.wtape)
+        out[prefix + ".stape"] = np.asarray(params.stape)
+        out[prefix + ".tg1"] = np.asarray(params.g1)
+        out[prefix + ".tg2"] = np.asarray(params.g2)
+        meta[prefix] = {"tape": list(params.dims)}
+        return out, meta
     if isinstance(params, PackedWeight):
         out[prefix + ".qvals"] = np.asarray(params.qvals)
         out[prefix + ".scales"] = np.asarray(params.scales)
@@ -70,6 +80,14 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
     names = list(st.keys())
 
     def build(prefix):
+        if (prefix in tree and isinstance(tree[prefix], dict)
+                and "tape" in tree[prefix]):
+            from zgml_tpu.ops.tapekernel import Tape
+            return Tape(st.tensor(prefix + ".wtape"),
+                        st.tensor(prefix + ".stape"),
+                        jnp.asarray(st.tensor(prefix + ".tg1")),
+                        jnp.asarray(st.tensor(prefix + ".tg2")),
+                        tree[prefix]["tape"])
         if prefix in tree and isinstance(tree[prefix], dict):
             kind, n, k, n_pad, k_pad = tree[prefix]["packed"]
             # keep numpy (mmap zero-copy): head-major views derive on host,

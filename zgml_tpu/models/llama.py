@@ -508,6 +508,22 @@ class LlamaModel:
         self.params["layers_stacked"] = stacked
         return True
 
+    def enable_tape_decode(self) -> bool:
+        """Build the flat weight/scale tapes for the tape-streamed decode
+        megacall (zgml_tpu/ops/tapekernel.py) and switch the KV cache layout
+        to stacked [L, B, Hkv, S, d]. Returns False (no-op) when the layers
+        are incompatible (non-q4_0, dims not lane-aligned). Decode then runs
+        ONE Pallas call per token with every layer's weights streaming
+        through a single manually-DMA'd VMEM window; prefill runs the
+        per-layer kernels against the stacked cache via kv_row=layer index
+        maps (no cache copies)."""
+        from zgml_tpu.ops.tapekernel import build_tape
+        tape = build_tape(self.params, self.cfg)
+        if tape is None:
+            return False
+        self.params["layers_tape"] = tape
+        return True
+
     # -- cache --------------------------------------------------------------
     def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
         """KV cache matching the params layout: per-layer lists when layers are
@@ -518,6 +534,9 @@ class LlamaModel:
         """
         c = self.cfg
         if dtype == "int8" or dtype is jnp.int8:
+            # (with layers_tape + unrolled layers, int8 keeps the per-layer
+            # list cache: the tape megacall is bf16-cache-only and forward's
+            # tape branch requires a stacked array cache)
             if (not isinstance(self.params.get("layers"), (list, tuple))
                     and "layers_stacked" not in self.params):
                 # scan layout: one stacked [L, ...] leaf pair per cache; the
@@ -536,6 +555,7 @@ class LlamaModel:
                     "v": [(vq, vs) for vq, vs in zip(qc["v_q"], qc["v_s"])]}
         shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
         if ("layers_stacked" not in self.params
+                and "layers_tape" not in self.params
                 and isinstance(self.params.get("layers"), (list, tuple))):
             return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],
                     "v": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)]}
@@ -570,12 +590,26 @@ class LlamaModel:
         decode = t == 1
 
         stacked = params.get("layers_stacked")
-        if (stacked is not None and tp_axis is None and cache_row is None
+        tape = params.get("layers_tape")
+        if ((stacked is not None or tape is not None)
+                and tp_axis is None and cache_row is None
                 and write_pos is None and getattr(pos, "ndim", 0) == 0
                 and not isinstance(cache["k"], (list, tuple))):
             from zgml_tpu import config as _config
             ck, cv = cache["k"], cache["v"]          # [L, B, Hkv, S, d]
-            if (decode and b == 1 and _config.stack_decode()
+            if (decode and b == 1 and tape is not None
+                    and _config.tape_decode()
+                    and ops.use_pallas("tape_decode")
+                    and not isinstance(ck, tuple)):
+                # whole stack in ONE Pallas call: all weights stream through
+                # one manually-DMA'd VMEM window (ops/tapekernel.py)
+                from zgml_tpu.ops.tapekernel import tape_decode_step
+                from zgml_tpu.runtime.profile import global_profile
+                global_profile.count_op("tape_decode", "pallas")
+                x, ck, cv = tape_decode_step(cfg, tape, x, ck, cv,
+                                             pos, cos, sin)
+            elif (decode and b == 1 and stacked is not None
+                    and _config.stack_decode()
                     and ops.use_pallas("stack_decode")
                     and not isinstance(ck, tuple)):
                 # the whole layer stack in ONE Pallas call per token
