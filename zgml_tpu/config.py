@@ -20,6 +20,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_LAYER_FFN=1           layer_ffn()        merge the FFN into the layer kernel
   ZGML_TPU_STACK_DECODE=1        stack_decode()     all-layers stacked decode megacall
   ZGML_TPU_TAPE_DECODE=0         tape_decode()      disable the tape-streamed decode megacall
+  ZGML_TPU_TAPE_BF16=0           tape_bf16()        f32 dequant-dots in the tape megacall
   ZGML_TPU_ATTN_I8A=0/1          attn_i8a(dp)       int8 A-phase (default: on iff dp>=4096)
   ZGML_TPU_ATTN_I8PV=1           attn_i8pv()        int8 P.V dot in q8 decode attention
   ZGML_TPU_I8DOT=0               i8dot()            disable int8-dot qmatmul tier
@@ -104,6 +105,12 @@ def tape_decode() -> bool:
     return _flag("ZGML_TPU_TAPE_DECODE", "1")
 
 
+def tape_bf16() -> bool:
+    """bf16 MXU operands in the tape megacall's dequant-dots. Q4 levels are
+    exact in bf16; only the scale product rounds (<=2^-9 rel)."""
+    return _flag("ZGML_TPU_TAPE_BF16", "1")
+
+
 def stack_decode() -> bool:
     """All-layers decode megacall (ops/stackkernel.py): one Pallas call per
     token for the entire layer stack. Default OFF: measured slower than the
@@ -169,6 +176,7 @@ def snapshot(dp_hint: int = 4096) -> dict:
         "layer_ffn": layer_ffn(),
         "stack_decode": stack_decode(),
         "tape_decode": tape_decode(),
+        "tape_bf16": tape_bf16(),
         "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
         "attn_i8pv": attn_i8pv(),
         "i8dot": i8dot(),

@@ -205,22 +205,31 @@ def build_tape(params: dict, cfg) -> dict | None:
 
 # -- kernel helpers -----------------------------------------------------------
 
-def _deq_rows(w, s, R, r0, cn):
+def _mxu_dtype():
+    """bf16 MXU operands for the tape dots (default). Q4 integer levels
+    (-8..7) are exact in bf16; only the scale product rounds (<=2^-9
+    relative), the same numerics tier as the prefill bf16 path. =0 restores
+    f32 (ZGML_TPU_TAPE_BF16)."""
+    return jnp.bfloat16 if config.tape_bf16() else jnp.float32
+
+
+def _deq_rows(w, s, R, r0, cn, dt):
     """Dequantize rows [r0, r0+cn) of one planar tape entry: w int8 [R, 512]
-    (nibble pairs), s f32 [R/16, 512] = [slo; shi] -> (wlo, whi) f32
+    (nibble pairs), s f32 [R/16, 512] = [slo; shi] -> (wlo, whi) dt
     [cn, 512].
 
-    Chunked (cn ~ 512) so the f32 temporaries stay ~1.5MB — dequantizing a
-    whole 7B entry at once needs ~12MB of scoped VMEM and OOMs Mosaic's
-    stack. Elementwise int32 nibble math + sublane scale repeat only: no
+    Chunked (cn ~ 512) so the temporaries stay small — dequantizing a whole
+    7B entry at once needs ~12MB of scoped VMEM and OOMs Mosaic's stack.
+    Elementwise int32 nibble math + sublane scale repeat only: no
     reshapes/transposes (Mosaic layout inference rejects lane shape casts).
     """
     v = w[r0:r0 + cn].astype(jnp.int32)
     nb = R // QK
-    slo = jnp.repeat(s[r0 // QK:(r0 + cn) // QK], QK, axis=0)
-    shi = jnp.repeat(s[nb + r0 // QK: nb + (r0 + cn) // QK], QK, axis=0)
-    wlo = ((v & 15) - 8).astype(jnp.float32) * slo
-    whi = (((v >> 4) & 15) - 8).astype(jnp.float32) * shi
+    slo = jnp.repeat(s[r0 // QK:(r0 + cn) // QK].astype(dt), QK, axis=0)
+    shi = jnp.repeat(s[nb + r0 // QK: nb + (r0 + cn) // QK].astype(dt),
+                     QK, axis=0)
+    wlo = ((v & 15) - 8).astype(dt) * slo
+    whi = (((v >> 4) & 15) - 8).astype(dt) * shi
     return wlo, whi
 
 
@@ -241,7 +250,7 @@ def _tape_kernel(
         *, hq: int, hkv: int, hd: int, d_logical: int, dp: int,
         nAc: int, nC: int, nGU: int, nDN: int, nrow: int, dpg: int,
         EPL: int, L: int, bkB: int, eps: float, scale: float,
-        n_total: int):
+        n_total: int, mxu):
     i = pl.program_id(0)
     pos = sref[0]
     n_b = sref[1]
@@ -305,11 +314,12 @@ def _tape_kernel(
         s = swin[pl.ds(slot, 1)][0]               # [R/16, 512]
         acc = jnp.zeros((8, LANES), jnp.float32)
         for q in range(R // LANES):
-            wlo, whi = _deq_rows(w, s, R, q * LANES, LANES)
-            acc += jnp.dot(x[:, q * LANES:(q + 1) * LANES], wlo,
+            wlo, whi = _deq_rows(w, s, R, q * LANES, LANES, mxu)
+            acc += jnp.dot(x[:, q * LANES:(q + 1) * LANES].astype(mxu), wlo,
                            preferred_element_type=jnp.float32)
-            acc += jnp.dot(x[:, R + q * LANES: R + (q + 1) * LANES], whi,
-                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(
+                x[:, R + q * LANES: R + (q + 1) * LANES].astype(mxu), whi,
+                preferred_element_type=jnp.float32)
         return acc
 
     # -- phase A: QKV column tiles ------------------------------------------
@@ -413,8 +423,9 @@ def _tape_kernel(
             w = win[pl.ds(slot, 1)][0]
             s = swin[pl.ds(slot, 1)][0]
             for q in range(R // LANES):
-                glo, uhi = _deq_rows(w, s, R, q * LANES, LANES)  # gate, up
-                xh = xn2[:, half * R + q * LANES: half * R + (q + 1) * LANES]
+                glo, uhi = _deq_rows(w, s, R, q * LANES, LANES, mxu)
+                xh = xn2[:, half * R + q * LANES:
+                         half * R + (q + 1) * LANES].astype(mxu)
                 gacc += jnp.dot(xh, glo, preferred_element_type=jnp.float32)
                 uacc += jnp.dot(xh, uhi, preferred_element_type=jnp.float32)
         act_scr[pl.ds(cG, 1)] = (
@@ -436,8 +447,8 @@ def _tape_kernel(
             # act tile index r*tpr+q may exceed nGU (zero-padded dn rows):
             # clamp the read; the matching weight rows are zeros
             a_idx = jnp.minimum(r * tpr + q, nGU - 1)
-            xq = act_scr[pl.ds(a_idx, 1)][0]      # [8, 512]
-            dlo, dhi = _deq_rows(w, s, R, q * LANES, LANES)  # out col groups
+            xq = act_scr[pl.ds(a_idx, 1)][0].astype(mxu)   # [8, 512]
+            dlo, dhi = _deq_rows(w, s, R, q * LANES, LANES, mxu)
             plo += jnp.dot(xq, dlo, preferred_element_type=jnp.float32)
             phi += jnp.dot(xq, dhi, preferred_element_type=jnp.float32)
         accdn_scr[pl.ds(g, 1)] += plo[None]
@@ -542,7 +553,8 @@ def _tape_call(x, g1, g2, wtape, stape, cos2, sin2, ck, cv, pos,
         functools.partial(
             _tape_kernel, hq=hq, hkv=hkv, hd=hd, d_logical=d_logical, dp=dp,
             nAc=nAc, nC=nC, nGU=nGU, nDN=nDN, nrow=nrow, dpg=dpg,
-            EPL=EPL, L=L, bkB=bkB, eps=eps, scale=scale, n_total=n_total),
+            EPL=EPL, L=L, bkB=bkB, eps=eps, scale=scale, n_total=n_total,
+            mxu=_mxu_dtype()),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, dp), jnp.float32),
