@@ -28,6 +28,13 @@ CFG = LlamaConfig(vocab_size=96, d_model=1024, n_heads=16, n_kv_heads=4,
                   d_ff=1024, n_layers=2, max_seq_len=128)
 
 
+@pytest.fixture(autouse=True)
+def _opt_in_tape(monkeypatch):
+    # tape decode is default-off (measured slower end-to-end, config.py) —
+    # these tests exercise the megacall itself, so opt in explicitly
+    monkeypatch.setenv("ZGML_TPU_TAPE_DECODE", "1")
+
+
 @pytest.fixture(scope="module")
 def models(tmp_path_factory):
     path = tmp_path_factory.mktemp("tape") / "m.gguf"
@@ -162,7 +169,7 @@ def test_tape_gate_falls_back(models, monkeypatch):
     e = LlamaEngine(taped)
     e.prefill([1, 5, 9])
     _, lg = e.step([2])
-    monkeypatch.delenv("ZGML_TPU_TAPE_DECODE")
+    monkeypatch.setenv("ZGML_TPU_TAPE_DECODE", "1")
     e2 = LlamaEngine(taped)
     e2.prefill([1, 5, 9])
     _, lg2 = e2.step([2])

@@ -19,7 +19,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_ATTN_BLOCK=0          attn_block()       disable the fused layer kernels
   ZGML_TPU_LAYER_FFN=1           layer_ffn()        merge the FFN into the layer kernel
   ZGML_TPU_STACK_DECODE=1        stack_decode()     all-layers stacked decode megacall
-  ZGML_TPU_TAPE_DECODE=0         tape_decode()      disable the tape-streamed decode megacall
+  ZGML_TPU_TAPE_DECODE=1         tape_decode()      tape-streamed decode megacall (measured slower)
   ZGML_TPU_TAPE_BF16=0           tape_bf16()        f32 dequant-dots in the tape megacall
   ZGML_TPU_ATTN_I8A=0/1          attn_i8a(dp)       int8 A-phase (default: on iff dp>=4096)
   ZGML_TPU_ATTN_I8PV=1           attn_i8pv()        int8 P.V dot in q8 decode attention
@@ -101,8 +101,12 @@ def layer_ffn() -> bool:
 def tape_decode() -> bool:
     """Tape-streamed whole-stack decode megacall (ops/tapekernel.py): all
     layers' weights stream through one manually-DMA'd VMEM window, one
-    Pallas call per token."""
-    return _flag("ZGML_TPU_TAPE_DECODE", "1")
+    Pallas call per token. Default OFF: the round-3 driver run measured it
+    at 62.4% of roofline vs the per-layer fused path's 82.9% (BENCH_r03 vs
+    BENCH_r02) — and merely having the tape attached switches init_cache to
+    the stacked [L,...] layout, which bypasses the fused attn_block/ffn
+    kernels on every path. Opt-in for experiments only."""
+    return _flag("ZGML_TPU_TAPE_DECODE", "0")
 
 
 def tape_bf16() -> bool:

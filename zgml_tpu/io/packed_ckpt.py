@@ -28,10 +28,16 @@ def _flatten_params(params, prefix="", out=None, meta=None):
     out = {} if out is None else out
     meta = {} if meta is None else meta
     from zgml_tpu.ops.tapekernel import Tape
-    from zgml_tpu.quant.headmajor import DERIVED_KEYS, HeadPacked
-    if isinstance(params, HeadPacked) or \
-            prefix.split(".")[-1] in DERIVED_KEYS:
-        return out, meta                 # derived view; re-attached at load
+    from zgml_tpu.quant.headmajor import HeadPacked
+    if isinstance(params, HeadPacked):
+        # derived head-major view: persisting it (exact bytes) lets load skip
+        # the minutes-scale host nibble re-shuffles at 7B (cold-start item);
+        # the roofline census still excludes it by key name (DERIVED_KEYS)
+        out[prefix + ".qvals"] = np.asarray(params.qvals)
+        out[prefix + ".scales"] = np.asarray(params.scales)
+        meta[prefix] = {"headpacked": [params.kind, params.heads, params.hd,
+                                       params.k, params.n]}
+        return out, meta
     if isinstance(params, Tape):
         # the decode tape is expensive to build (minutes of host transposes
         # at 7B) but cheap to mmap — persist it alongside the planar weights
@@ -78,6 +84,14 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
     tree = json.loads(st.metadata["zgml_tree"])
 
     names = list(st.keys())
+    from zgml_tpu import config as _config
+    if not _config.tape_decode():
+        # a persisted decode tape is a full second copy of the weights AND its
+        # mere presence flips init_cache to the stacked [L,...] layout that
+        # bypasses the fused per-layer kernels (the round-3 regression, 62.4%
+        # vs 82.9% of roofline) — skip it entirely unless opted in
+        names = [n for n in names if not n.startswith("layers_tape.")]
+        tree.pop("layers_tape", None)
 
     def build(prefix):
         if (prefix in tree and isinstance(tree[prefix], dict)
@@ -88,6 +102,13 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
                         jnp.asarray(st.tensor(prefix + ".tg1")),
                         jnp.asarray(st.tensor(prefix + ".tg2")),
                         tree[prefix]["tape"])
+        if (prefix in tree and isinstance(tree[prefix], dict)
+                and "headpacked" in tree[prefix]):
+            from zgml_tpu.quant.headmajor import HeadPacked
+            kind, heads, hd, k, n = tree[prefix]["headpacked"]
+            return HeadPacked(kind, heads, hd, k, n,
+                              st.tensor(prefix + ".qvals"),
+                              st.tensor(prefix + ".scales"))
         if prefix in tree and isinstance(tree[prefix], dict):
             kind, n, k, n_pad, k_pad = tree[prefix]["packed"]
             # keep numpy (mmap zero-copy): head-major views derive on host,
@@ -111,17 +132,22 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
                 kids.add(rest.split(".")[0].split("#")[0])
         if not kids:
             arr = st.tensor(prefix)
+            if ".ffn_q4n" in prefix:
+                return arr               # mmap zero-copy; device_put by caller
             a = jnp.asarray(arr)
             return a.astype(dtype) if a.dtype == jnp.float32 else a
         return {k: build(pre + k) for k in sorted(kids)}
 
     params = build("")
+    if not _config.tape_decode():
+        params.pop("layers_tape", None)
     layers = params.get("layers")
     if isinstance(layers, list):
         from zgml_tpu.ops.layerkernel import attn_block_enabled
         from zgml_tpu.quant.headmajor import attach_head_major
         if attn_block_enabled():
             for layer in layers:
-                attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads,
-                                  cfg.head_dim)
+                if "wo3" not in layer:   # older file: derive on the host
+                    attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads,
+                                      cfg.head_dim)
     return LlamaModel(cfg, params)
