@@ -100,7 +100,9 @@ def main():
     packed = path + ".packed.safetensors"
     if os.path.exists(packed):
         from zgml_tpu.io.packed_ckpt import load_packed_llama
-        model = load_packed_llama(packed)
+        # planar-only load: the derived decode views re-derive ON DEVICE
+        # below (attach_derived), halving the host->device upload
+        model = load_packed_llama(packed, derive=False)
         how = "mmap-loaded packed ckpt"
     else:
         model, _ = load_llama(path, mode="quantized")
@@ -119,6 +121,7 @@ def main():
     elif zconfig.stack_decode() and model.enable_stacked_decode():
         how += " +stacked-decode megacall"
     model.params = jax.device_put(model.params)
+    model.attach_derived()
     log(f"{how} in {time.time()-t0:.1f}s "
         f"(cfg: d={cfg.d_model} L={cfg.n_layers} heads={cfg.n_heads}/"
         f"{cfg.n_kv_heads} ff={cfg.d_ff} vocab={cfg.vocab_size})")

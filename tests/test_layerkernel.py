@@ -227,3 +227,49 @@ def test_engine_fused_int8_cache_matches_unfused(tmp_path, monkeypatch):
     for a, b in ((f1, u1), (f2, u2)):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
         assert cos > 0.995, cos
+
+
+def test_device_derivation_matches_host():
+    """attach_head_major_jnp (on-device jnp bit-shuffles, the cold-start
+    path) must produce byte-identical wo3/ffn_q4n views to the host numpy
+    derivation."""
+    from zgml_tpu.quant.headmajor import (attach_head_major,
+                                          attach_head_major_jnp)
+    rng = np.random.default_rng(7)
+    d, hd, hq, hkv, F = 512, 64, 8, 4, 1024
+
+    def qw(n, k, kind="q4_0"):
+        return quantize_weight(
+            rng.standard_normal((n, k)).astype(np.float32) * 0.05, kind,
+            n_align=1)
+
+    for kind in ("q4_0", "q8_0"):
+        wq, wk, wv = (qw(hq * hd, d, kind), qw(hkv * hd, d, kind),
+                      qw(hkv * hd, d, kind))
+        wqkv = concat_packed([wq, wk, wv])
+        wo = quantize_weight(
+            rng.standard_normal((d, hq * hd)).astype(np.float32) * 0.05, kind)
+        layer_np = {"wqkv": wqkv, "wo": wo}
+        layer_dev = dict(layer_np)
+        if kind == "q4_0":
+            gate, up = qw(F, d), qw(F, d)
+            wd = quantize_weight(
+                rng.standard_normal((d, F)).astype(np.float32) * 0.05, kind)
+            gu = concat_packed([gate, up], part_pad=wd.k_pad)
+            layer_np.update(w_gate_up=gu, w_down=wd)
+            layer_dev.update(w_gate_up=gu, w_down=wd)
+        assert attach_head_major(layer_np, hq, hkv, hd)
+        assert attach_head_major_jnp(layer_dev, hq, hkv, hd)
+        np.testing.assert_array_equal(np.asarray(layer_dev["wo3"].qvals),
+                                      np.asarray(layer_np["wo3"].qvals))
+        np.testing.assert_array_equal(np.asarray(layer_dev["wo3"].scales),
+                                      np.asarray(layer_np["wo3"].scales))
+        for aux in ("kind", "heads", "hd", "k", "n"):
+            assert getattr(layer_dev["wo3"], aux) == \
+                getattr(layer_np["wo3"], aux)
+        if kind == "q4_0":
+            assert "ffn_q4n" in layer_np and "ffn_q4n" in layer_dev
+            for key in layer_np["ffn_q4n"]:
+                np.testing.assert_array_equal(
+                    np.asarray(layer_dev["ffn_q4n"][key]),
+                    np.asarray(layer_np["ffn_q4n"][key]), err_msg=key)

@@ -29,6 +29,9 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_NATIVE=0              native()           disable the C++ host library
   ZGML_TPU_CACHE_DIR=path        cache_dir()        persistent XLA compilation cache
   ZGML_TPU_TP_BARRIER=1          tp_barrier()       serialize TP collectives (overlap A/B)
+  ZGML_TPU_LAYER_TUNE=a,b,c,d,e  layer_tune()       fused-layer block geometry (A/B)
+  ZGML_TPU_FFN_TUNE=bf,mb        ffn_tune()         FFN megakernel F-tile override (A/B)
+  ZGML_TPU_LK_DEBUG=1            lk_debug()         print chosen layer-kernel geometry
 """
 from __future__ import annotations
 
@@ -161,6 +164,39 @@ def tp_barrier() -> bool:
     XLA's latency-hiding scheduler is free to overlap psum/all_gather with
     independent compute/DMA."""
     return _get("ZGML_TPU_TP_BARRIER", "0") == "1"
+
+
+def layer_tune() -> tuple:
+    """Experimental block-geometry overrides for the fused layer kernel
+    (ops/layerkernel.py): 'bkA_cap,ncA,bkB,hg,budget_MB' comma ints, 0 =
+    keep the default for that slot. Read at trace time and part of the jit
+    key (passed as a static arg), so the A/B harnesses can flip it per
+    variant. Empty (default) = fully auto."""
+    raw = _get("ZGML_TPU_LAYER_TUNE", "")
+    if not raw:
+        return ()
+    vals = tuple(int(v or 0) for v in raw.split(","))
+    if len(vals) >= 5 and vals[4]:
+        vals = vals[:4] + (vals[4] << 20,) + vals[5:]
+    return vals
+
+
+def ffn_tune() -> tuple:
+    """Experimental F-tile override for the N-packed Q4 FFN megakernel
+    (ops/ffn.py fused_ffn_norm_q4n): 'bf,budget_MB' comma ints, 0 = default.
+    Trace-time read, part of the jit key via the static bf argument."""
+    raw = _get("ZGML_TPU_FFN_TUNE", "")
+    if not raw:
+        return ()
+    vals = tuple(int(v or 0) for v in raw.split(","))
+    if len(vals) >= 2 and vals[1]:
+        vals = vals[:1] + (vals[1] << 20,) + vals[2:]
+    return vals
+
+
+def lk_debug() -> bool:
+    """Print the fused layer kernel's chosen block geometry at trace time."""
+    return _get("ZGML_TPU_LK_DEBUG", "0") == "1"
 
 
 def cache_dir() -> str:

@@ -28,15 +28,11 @@ def _flatten_params(params, prefix="", out=None, meta=None):
     out = {} if out is None else out
     meta = {} if meta is None else meta
     from zgml_tpu.ops.tapekernel import Tape
-    from zgml_tpu.quant.headmajor import HeadPacked
-    if isinstance(params, HeadPacked):
-        # derived head-major view: persisting it (exact bytes) lets load skip
-        # the minutes-scale host nibble re-shuffles at 7B (cold-start item);
-        # the roofline census still excludes it by key name (DERIVED_KEYS)
-        out[prefix + ".qvals"] = np.asarray(params.qvals)
-        out[prefix + ".scales"] = np.asarray(params.scales)
-        meta[prefix] = {"headpacked": [params.kind, params.heads, params.hd,
-                                       params.k, params.n]}
+    from zgml_tpu.quant.headmajor import DERIVED_KEYS, HeadPacked
+    if isinstance(params, HeadPacked) or \
+            prefix.split(".")[-1] in DERIVED_KEYS:
+        # derived views re-derive cheaply ON DEVICE at load (attach_derived);
+        # persisting them would double the file AND the tunnel upload
         return out, meta
     if isinstance(params, Tape):
         # the decode tape is expensive to build (minutes of host transposes
@@ -75,8 +71,13 @@ def save_packed_llama(path: str, model: LlamaModel):
 
 
 def load_packed_llama(path: str, max_seq_len: int | None = None,
-                      dtype=jnp.float32) -> LlamaModel:
-    """mmap-load a repacked llama checkpoint (no dequant, no repack)."""
+                      dtype=jnp.float32, derive: bool = True) -> LlamaModel:
+    """mmap-load a repacked llama checkpoint (no dequant, no repack).
+
+    derive=False skips the host-side derived-view attach; callers that
+    device_put the params should follow with `model.attach_derived()` so the
+    nibble shuffles run on the TPU instead of costing ~70s of host numpy at
+    7B (the cold-start path: bench.py, serving)."""
     st = SafetensorsFile(path)
     cfg = LlamaConfig(**json.loads(st.metadata["zgml_config"]))
     if max_seq_len is not None:
@@ -92,6 +93,16 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
         # vs 82.9% of roofline) — skip it entirely unless opted in
         names = [n for n in names if not n.startswith("layers_tape.")]
         tree.pop("layers_tape", None)
+    # files written by an interim round-4 build persisted the derived views;
+    # they re-derive on device now (attach_derived) — never parse them
+    from zgml_tpu.quant.headmajor import DERIVED_KEYS
+
+    def _is_derived(name: str) -> bool:
+        parts = name.split(".")
+        return any(p in DERIVED_KEYS for p in parts)
+
+    names = [n for n in names if not _is_derived(n)]
+    tree = {k: v for k, v in tree.items() if not _is_derived(k)}
 
     def build(prefix):
         if (prefix in tree and isinstance(tree[prefix], dict)
@@ -102,13 +113,6 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
                         jnp.asarray(st.tensor(prefix + ".tg1")),
                         jnp.asarray(st.tensor(prefix + ".tg2")),
                         tree[prefix]["tape"])
-        if (prefix in tree and isinstance(tree[prefix], dict)
-                and "headpacked" in tree[prefix]):
-            from zgml_tpu.quant.headmajor import HeadPacked
-            kind, heads, hd, k, n = tree[prefix]["headpacked"]
-            return HeadPacked(kind, heads, hd, k, n,
-                              st.tensor(prefix + ".qvals"),
-                              st.tensor(prefix + ".scales"))
         if prefix in tree and isinstance(tree[prefix], dict):
             kind, n, k, n_pad, k_pad = tree[prefix]["packed"]
             # keep numpy (mmap zero-copy): head-major views derive on host,
@@ -132,8 +136,6 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
                 kids.add(rest.split(".")[0].split("#")[0])
         if not kids:
             arr = st.tensor(prefix)
-            if ".ffn_q4n" in prefix:
-                return arr               # mmap zero-copy; device_put by caller
             a = jnp.asarray(arr)
             return a.astype(dtype) if a.dtype == jnp.float32 else a
         return {k: build(pre + k) for k in sorted(kids)}
@@ -142,12 +144,11 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
     if not _config.tape_decode():
         params.pop("layers_tape", None)
     layers = params.get("layers")
-    if isinstance(layers, list):
+    if derive and isinstance(layers, list):
         from zgml_tpu.ops.layerkernel import attn_block_enabled
         from zgml_tpu.quant.headmajor import attach_head_major
         if attn_block_enabled():
             for layer in layers:
-                if "wo3" not in layer:   # older file: derive on the host
-                    attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads,
-                                      cfg.head_dim)
+                attach_head_major(layer, cfg.n_heads, cfg.n_kv_heads,
+                                  cfg.head_dim)
     return LlamaModel(cfg, params)

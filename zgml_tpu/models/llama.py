@@ -493,6 +493,23 @@ class LlamaModel:
                                   self.cfg.n_kv_heads, self.cfg.head_dim)
         return self
 
+    def attach_derived(self) -> "LlamaModel":
+        """Derive + attach the decode weight views (wo3 head-major, ffn_q4n
+        N-packed) ON DEVICE via jnp bit-shuffles (quant/headmajor.py) —
+        milliseconds on TPU vs ~70s of host numpy at 7B, and the planar
+        weights upload only once. No-op for layers already carrying views or
+        incompatible with the fused kernels. Returns self."""
+        from zgml_tpu.ops.layerkernel import attn_block_enabled
+        from zgml_tpu.quant.headmajor import attach_head_major_jnp
+        layers = self.params.get("layers")
+        if attn_block_enabled() and isinstance(layers, (list, tuple)):
+            for layer in layers:
+                if "wo3" not in layer:
+                    attach_head_major_jnp(layer, self.cfg.n_heads,
+                                          self.cfg.n_kv_heads,
+                                          self.cfg.head_dim)
+        return self
+
     def enable_stacked_decode(self) -> bool:
         """Build the stacked [L, ...] weight views for the all-layers decode
         megacall (zgml_tpu/ops/stackkernel.py) and switch the KV cache layout

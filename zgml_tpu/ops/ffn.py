@@ -368,16 +368,20 @@ def fused_ffn_norm_q4n(x: jax.Array, gamma: jax.Array, pack: dict,
     g = jnp.pad(gamma.reshape(1, -1).astype(jnp.float32),
                 ((0, 0), (0, dp - k)))
     bm = m_pad if m_pad <= 256 else 256
-    # widest F tile whose double-buffered blocks fit ~10 MB
+    # widest F tile whose double-buffered blocks fit the budget
+    t_bf, t_budget = (config.ffn_tune() + (0, 0))[:2]
+    bf_cap, budget = t_bf or 2048, t_budget or (10 << 20)
     bf = 128
-    for cand in range(min(2048, fp) // 128 * 128, 127, -128):
+    for cand in range(min(bf_cap, fp) // 128 * 128, 127, -128):
         if fp % cand:
             continue
         cost = 2 * (dp * cand + cand * (dp // 2)
                     + 2 * (dp // QK) * cand * 4 + (cand // QK) * dp * 4)
-        if cost <= 10 << 20 and (cand // QK) % 8 == 0:
+        if cost <= budget and (cand // QK) % 8 == 0:
             bf = cand
             break
+    if t_bf and fp % t_bf == 0 and (t_bf // QK) % 8 == 0:
+        bf = t_bf
     ck = _chunk(dp, 1024)
     cd = _chunk(dp // 2, 1024)
     out = _ffn_q4n(x2, g, pack["gu_q"], pack["gs"], pack["us"],

@@ -367,13 +367,14 @@ def _choose(total: int, limit: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "hq", "hkv", "hd", "d_logical", "s_len",
-                     "eps", "dp", "has_ffn", "kv_i8", "a_i8"))
+                     "eps", "dp", "has_ffn", "kv_i8", "a_i8", "tune"))
 def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
                 ck, cks, cv, cvs,
                 wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds, pos,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
                 s_len: int, eps: float, dp: int, has_ffn: bool,
-                kv_i8: bool = False, a_i8: bool = False):
+                kv_i8: bool = False, a_i8: bool = False,
+                tune: tuple = ()):
     """x [8, dp] f32 (row 0 live); PLANAR wqkv, head-major wo3, N-packed FFN;
     ck/cv [hkv, S, hd]. Returns (x_out [8, dp], kcur, vcur [hkv, hd])."""
     htot = hq + 2 * hkv
@@ -384,8 +385,13 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
     dwp = wo_q.shape[2]                  # dp (q8) or dp/2 (q4)
     is_q4 = kind == "q4_0"
 
+    # tuning overrides (static; see layer_tune() in attn_block_step):
+    # (bkA_cap, ncA_start, bkB_start, hg_start, budget_bytes) — 0 = default
+    t_bka, t_nca, t_bkb, t_hg, t_budget = (tune + (0,) * 5)[:5]
+
     # bkA floor 256: the A-phase scale tile needs >= 8 sublane rows
-    bkA = _choose(kq, 256, 256) if kq >= 256 else kq
+    bka_cap = t_bka or 256
+    bkA = _choose(kq, bka_cap, 256) if kq >= 256 else kq
     fp = dn_q.shape[0] if has_ffn else 0
 
     def vmem_est(bkb, hg, bfE, nca):
@@ -402,36 +408,73 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
                + 3 * 8 * dp + 8 * 128) * 4
         return 2 * (qkv + cache + wo + ffn + xviews + outs) + scr
 
-    # budget calibrated against Mosaic's ACTUAL scoped-vmem accounting
-    # (est 11MB compiled to 20.3MB on a 7B-MHA shape: ~1.8x undercount)
-    budget = 6 << 20
-    bkB, hg, bfE, ncA = 256, hq, 512, 1
     bkB_floor = 128 if kv_i8 else 64    # int8 cache: S is the LANE axis
-    for _ in range(14):
-        bkB_e = _choose(s_len, bkB, 128 if kv_i8 else 8)
-        hg_e = hg
-        while hq % hg_e:
-            hg_e -= 1
-        bfE_e = _choose(fp, bfE, 256) if has_ffn else 0
-        if vmem_est(bkB_e, hg_e, bfE_e, ncA) <= budget:
-            break
-        # shrink the FIXED-cost phases first: the B phase's work scales with
-        # the live context, so starving its block (narrow KV DMAs, more
-        # steps) hurts long-context decode the most
-        if ncA < 4 and (n_qkv // (2 * ncA)) % 128 == 0:
-            ncA *= 2
-        elif hg_e > max(1, hq // 8):         # keep C at <= 8 steps first
-            hg = max(1, hg_e // 2)
-        elif has_ffn and bfE_e > 256:        # ds tile needs >=8 sublanes
-            bfE = bfE_e // 2
-        elif bkB_e > bkB_floor:
-            bkB = bkB_e // 2
-        elif hg_e > 1:                       # last resort
-            hg = max(1, hg_e // 2)
+    if tune:
+        # explicit experiment overrides: legacy shrink loop from the given
+        # starting points (the A/B harnesses drive this; tools/exp_step2.py)
+        budget = t_budget or (6 << 20)
+        bkB, hg, bfE, ncA = t_bkb or 256, t_hg or hq, 512, t_nca or 1
+        for _ in range(14):
+            bkB_e = _choose(s_len, bkB, 128 if kv_i8 else 8)
+            hg_e = hg
+            while hq % hg_e:
+                hg_e -= 1
+            bfE_e = _choose(fp, bfE, 256) if has_ffn else 0
+            if vmem_est(bkB_e, hg_e, bfE_e, ncA) <= budget:
+                break
+            if ncA < 4 and (n_qkv // (2 * ncA)) % 128 == 0:
+                ncA *= 2
+            elif hg_e > max(1, hq // 8):
+                hg = max(1, hg_e // 2)
+            elif has_ffn and bfE_e > 256:
+                bfE = bfE_e // 2
+            elif bkB_e > bkB_floor:
+                bkB = bkB_e // 2
+            elif hg_e > 1:
+                hg = max(1, hg_e // 2)
+            else:
+                break
+        bkB, hg = bkB_e, hg_e
+        bfE = bfE_e if has_ffn else 128
+    else:
+        # default: preference-scored candidate search. Grid-step count is the
+        # fixed-cost proxy (measured ~0.3-1us/step pipeline overhead); score =
+        # expected steps at a short-context decode (the headline regime), with
+        # B steps weighted at kv~256. Interleaved full-step A/B at 7B MHA
+        # (tools/exp_step2.py): ncA=2/bkB=64/hg=2 7.50ms vs the old shrink
+        # loop's ncA=4/bkB=64/hg=1 7.94ms — the budget is calibrated to what
+        # Mosaic ACTUALLY compiled (est 12.3MB fit; est 13.2 not tried).
+        budget = 9 << 20 | (512 << 10)
+        best = None
+        for nca in (1, 2, 4, 8):
+            if n_qkv % (nca * 128):
+                continue
+            ncw_c = n_qkv // nca
+            for hg_c in (hh for hh in (2, 4, 8, 16, 32, 64, 1)
+                         if hh <= hq and hq % hh == 0):
+                for bkb_c in (bkB_floor, 2 * bkB_floor, 4 * bkB_floor):
+                    bkb_e = _choose(s_len, bkb_c, 128 if kv_i8 else 8)
+                    for bfe_c in ((512, 256) if has_ffn else (0,)):
+                        bfe_e = _choose(fp, bfe_c, 256) if has_ffn else 0
+                        if vmem_est(bkb_e, hg_c, bfe_e, nca) > budget:
+                            continue
+                        steps = ((kq // bkA) * nca + max(1, 256 // bkb_e)
+                                 + hq // hg_c
+                                 + (fp // bfe_e if has_ffn else 0))
+                        key = (steps, -bkb_e, -(bfe_e or 0))
+                        if best is None or key < best[0]:
+                            best = (key, (nca, hg_c, bkb_e, bfe_e))
+        if best is None:       # degenerate tiny shapes: one step per phase
+            ncA, hg, bkB = 1, 1, _choose(s_len, bkB_floor,
+                                         128 if kv_i8 else 8)
+            bfE = _choose(fp, 256, 256) if has_ffn else 128
         else:
-            break
-    bkB, hg = bkB_e, hg_e
-    bfE = bfE_e if has_ffn else 128
+            ncA, hg, bkB, bfE = best[1]
+            bfE = bfE if has_ffn else 128
+    if config.lk_debug():
+        print(f"[layerkernel] bkA={bkA} ncA={ncA} bkB={bkB} hg={hg} "
+              f"bfE={bfE if has_ffn else 0} est={vmem_est(bkB, hg, bfE if has_ffn else 0, ncA)>>20}MB "
+              f"kq={kq} n_qkv={n_qkv} a_i8={a_i8} kv_i8={kv_i8}")
     nA = kq // bkA
     ncw = n_qkv // ncA
     nC = hq // hg
@@ -698,7 +741,7 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
         wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
         kind=wqkv.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
         s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn,
-        kv_i8=kv_i8, a_i8=a_i8)
+        kv_i8=kv_i8, a_i8=a_i8, tune=config.layer_tune())
     x_out = x_out[0:1, :d].reshape(1, 1, d).astype(x.dtype)
     return (x_out,
             kcur.reshape(1, hkv, 1, hd),

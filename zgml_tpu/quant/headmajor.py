@@ -165,6 +165,99 @@ def ffn_npack(gu: PackedWeight, wd: PackedWeight) -> dict:
             "ds": np.ascontiguousarray(ds)}
 
 
+# -- on-device derivation (jnp) ----------------------------------------------
+#
+# The host numpy shuffles above cost ~70s at 7B (single-threaded byte ops over
+# 4.2GB) and uploading pre-derived views would DOUBLE the host->device
+# transfer. Instead the planar weights upload once and these jitted jnp
+# mirrors derive the views on the TPU in milliseconds (pure bit/reshape ops).
+
+import functools  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _u8(a):
+    return jax.lax.bitcast_convert_type(a, jnp.uint8)
+
+
+def _i8(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "hd"))
+def _wo3_q4_jnp(qvals, scales, hq: int, hd: int):
+    nq = hq * hd
+    kh, dp = qvals.shape
+    b = _u8(qvals)
+    full = jnp.concatenate([b & 0xF, (b >> 4) & 0xF], axis=0)[:nq]
+    full3 = full.reshape(hq, hd, dp)
+    packed = full3[:, :, : dp // 2] | (full3[:, :, dp // 2:] << 4)
+    s3 = scales[: nq // QK].reshape(hq, hd // QK, dp)
+    return _i8(packed), s3
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "hd"))
+def _wo3_q8_jnp(qvals, scales, hq: int, hd: int):
+    nq = hq * hd
+    dp = qvals.shape[1]
+    q3 = qvals[:nq].reshape(hq, hd, dp)
+    s3 = scales[: nq // QK].reshape(hq, hd // QK, dp)
+    return q3, s3
+
+
+@jax.jit
+def _ffn_npack_jnp(gu_q, gu_s, wd_q, wd_s):
+    kh, n2 = gu_q.shape                      # kh = Dp/2 packed rows
+    dp, fp = 2 * kh, n2 // 2
+    b = _u8(gu_q)
+    g_full = jnp.concatenate([b & 0xF, (b >> 4) & 0xF], axis=0)  # [Dp, 2Fp]
+    gu2 = g_full[:, :fp] | (g_full[:, fp:2 * fp] << 4)
+    gs, us = gu_s[:, :fp], gu_s[:, fp:2 * fp]
+    db = _u8(wd_q)
+    d_full = jnp.concatenate([db & 0xF, (db >> 4) & 0xF], axis=0)[:fp]
+    dn = d_full[:, : dp // 2] | (d_full[:, dp // 2:] << 4)
+    ds = wd_s[: fp // 32]
+    return _i8(gu2), gs, us, _i8(dn), ds
+
+
+def attach_head_major_jnp(layer: dict, hq: int, hkv: int, hd: int) -> bool:
+    """attach_head_major, but derived ON DEVICE from already-uploaded planar
+    PackedWeights (jnp bit-shuffles; one jit compile per shape, reused across
+    layers). Exact same eligibility rules and byte-level results as the host
+    version (conformance: tests/test_io_extra.py)."""
+    wqkv, wo = layer.get("wqkv"), layer.get("wo")
+    if not (isinstance(wqkv, PackedWeight) and isinstance(wo, PackedWeight)):
+        return False
+    if hd % QK or hd < QK:
+        return False
+    if wo.k != hq * hd:
+        return False
+    if wqkv.n_pad < (hq + 2 * hkv) * hd or wqkv.kind != wo.kind:
+        return False
+    if wo.kind == "q4_0":
+        if np.asarray(wo.qvals).shape[1] % 2:
+            return False
+        q3, s3 = _wo3_q4_jnp(wo.qvals, wo.scales, hq=hq, hd=hd)
+    elif wo.kind == "q8_0":
+        q3, s3 = _wo3_q8_jnp(wo.qvals, wo.scales, hq=hq, hd=hd)
+    else:
+        return False
+    layer["wo3"] = HeadPacked(wo.kind, hq, hd, hd, wo.n, q3, s3)
+    gu, wd = layer.get("w_gate_up"), layer.get("w_down")
+    if (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)
+            and gu.kind == "q4_0" and wd.kind == "q4_0"
+            and gu.n_pad == 2 * wd.k_pad and wd.n_pad == gu.k_pad
+            and gu.k_pad % 256 == 0 and wd.k_pad % 256 == 0
+            and (gu.k_pad // 2) % 128 == 0):
+        gu2, gs, us, dn, ds = _ffn_npack_jnp(gu.qvals, gu.scales,
+                                             wd.qvals, wd.scales)
+        layer["ffn_q4n"] = {"gu_q": gu2, "gs": gs, "us": us,
+                            "dn_q": dn, "ds": ds}
+    return True
+
+
 def attach_head_major(layer: dict, hq: int, hkv: int, hd: int) -> bool:
     """Derive and attach head-major views for one layer dict (in place).
 
