@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--tg", type=int, default=None, help="decode tokens "
                     "(default 128 for 7b, 200 otherwise)")
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="prefill bucket size (0 = auto: min(pp, 256); "
+                         "larger chunks amortize the per-K-step VPU dequant "
+                         "over more rows -> higher prefill MFU)")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
                     help="KV cache dtype")
     ap.add_argument("--kernel-profile", action="store_true",
@@ -142,7 +146,8 @@ def main():
             profile_decode_kernels(model, kv_len=min(kv_mid_kp,
                                                      cfg.max_seq_len - 1))))
     cache_dtype = "int8" if args.kv == "int8" else jnp.bfloat16
-    eng = LlamaEngine(model, batch=1, prefill_chunk=min(args.pp, 128),
+    chunk = args.prefill_chunk or min(args.pp, 256)
+    eng = LlamaEngine(model, batch=1, prefill_chunk=chunk,
                       cache_dtype=cache_dtype)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, args.pp).astype(np.int32)
@@ -215,7 +220,18 @@ def main():
     step_rate = best_of(run_decode_steps)
     tg_rate = max(best_of(run_decode_scan), step_rate)
 
-    log(f"pp{args.pp}: {pp_rate:.1f} tok/s   tg{args.tg}: {tg_rate:.1f} tok/s "
+    # prefill MFU: matmul FLOPs/token from the model dims vs v5e bf16 peak
+    hd = cfg.d_model // cfg.n_heads
+    mm = cfg.n_layers * (cfg.d_model * (cfg.n_heads + 2 * cfg.n_kv_heads) * hd
+                         + cfg.n_heads * hd * cfg.d_model
+                         + 3 * cfg.d_model * cfg.d_ff)
+    mm += cfg.d_model * cfg.vocab_size
+    attn_fl = cfg.n_layers * 2 * cfg.n_heads * hd * (args.pp / 2)  # per token
+    flops_tok = 2 * mm + 2 * attn_fl
+    mfu = pp_rate * flops_tok / 197e12           # v5e bf16 peak ~197 TFLOP/s
+    log(f"pp{args.pp}: {pp_rate:.1f} tok/s (chunk={chunk}, "
+        f"{pp_rate*flops_tok/1e12:.1f} TF/s, MFU {100*mfu:.1f}%)   "
+        f"tg{args.tg}: {tg_rate:.1f} tok/s "
         f"(best; scan chunk={scan_chunk}); per-step-sync: {step_rate:.1f} tok/s")
     log(global_profile.render())
 

@@ -69,7 +69,10 @@ def _oracle(cfg, layer, x, cache_k, cache_v, pos):
 
 @pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
 @pytest.mark.parametrize("hq,hkv,pos", [(8, 2, 37), (4, 4, 0), (8, 8, 100)])
-def test_attn_block_matches_oracle(kind, hq, hkv, pos):
+def test_attn_block_matches_oracle(kind, hq, hkv, pos, monkeypatch):
+    # exercise the in-kernel aliased cache write (opt-in; default is the
+    # XLA dynamic_update_slice path, measured faster — config.lk_cachewrite)
+    monkeypatch.setenv("ZGML_TPU_LK_CACHEWRITE", "1")
     hd = 32
     cfg = LlamaConfig(vocab_size=128, d_model=hq * hd, n_heads=hq,
                       n_kv_heads=hkv, d_ff=128, n_layers=1, max_seq_len=128)
@@ -85,9 +88,22 @@ def test_attn_block_matches_oracle(kind, hq, hkv, pos):
     cos, sin = refs.rope_cos_sin(jnp.asarray([pos]), hd, cfg.rope_base)
     cos2 = jnp.concatenate([cos, cos], axis=1)           # [1, hd]
     sin2 = jnp.concatenate([-sin, sin], axis=1)
-    x2, kc, vc, did_ffn = attn_block_step(cfg, layer, x, cache_k, cache_v,
-                                          pos, cos2, sin2)
+    x2, kc, vc, did_ffn, new_ck, new_cv = attn_block_step(
+        cfg, layer, x, cache_k, cache_v, pos, cos2, sin2)
     assert not did_ffn           # test layers carry no FFN weights
+    # in-kernel aliased cache write: row `pos` holds the rope'd K/V; live
+    # rows (< pos) and rows outside the 16-row window stay byte-identical
+    # to the input cache; dead in-window rows (> pos) deterministically
+    # hold kcur/vcur (they're overwritten before any read)
+    rows = np.arange(cfg.max_seq_len)
+    w0 = (pos // 16) * 16
+    dead = (rows >= w0) & (rows < w0 + 16) & (rows >= pos)
+    for new, cur, old in ((new_ck, kc, cache_k), (new_cv, vc, cache_v)):
+        new, old = np.asarray(new)[0], np.asarray(old)[0]
+        curr = np.asarray(cur).reshape(hkv, hd).astype(new.dtype)
+        expect = old.copy()
+        expect[:, dead, :] = curr[:, None, :]
+        np.testing.assert_array_equal(new, expect)
 
     want_x2, want_k, want_v = _oracle(
         cfg, layer, x, cache_k.astype(jnp.float32),

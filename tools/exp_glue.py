@@ -41,7 +41,7 @@ x0 = jnp.zeros((1, 1, d), jnp.float32)
 
 def chain(x, params, cache, c2, s2):
     for i, layer in enumerate(params["layers"]):
-        x, _, _, did_ffn = attn_block_step(cfg, layer, x, cache["k"][i],
+        x, _, _, did_ffn, _, _ = attn_block_step(cfg, layer, x, cache["k"][i],
                                            cache["v"][i], kv_len, c2, s2)
         if did_ffn:
             continue

@@ -46,7 +46,7 @@ vc = jnp.asarray(rng.standard_normal((1, hkv, cfg.max_seq_len, hd)),
 
 
 def f_ab(x, layer, ck1, cv1, c2, s2):
-    x2, _, _, _ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len, c2, s2)
+    x2, *_ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len, c2, s2)
     return x2
 
 

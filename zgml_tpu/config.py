@@ -30,6 +30,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_CACHE_DIR=path        cache_dir()        persistent XLA compilation cache
   ZGML_TPU_TP_BARRIER=1          tp_barrier()       serialize TP collectives (overlap A/B)
   ZGML_TPU_LAYER_TUNE=a,b,c,d,e  layer_tune()       fused-layer block geometry (A/B)
+  ZGML_TPU_LK_CACHEWRITE=1       lk_cachewrite()    in-kernel aliased KV-cache writes (measured slower)
   ZGML_TPU_FFN_TUNE=bf,mb        ffn_tune()         FFN megakernel F-tile override (A/B)
   ZGML_TPU_LK_DEBUG=1            lk_debug()         print chosen layer-kernel geometry
 """
@@ -194,6 +195,19 @@ def ffn_tune() -> tuple:
     return vals
 
 
+def lk_cachewrite() -> bool:
+    """In-kernel KV-cache writes in the fused layer kernel (aliased output
+    blocks; the current token's rope'd K/V lands at row `pos` inside the
+    kernel). Default OFF: interleaved scan+carry A/B (tools/exp_cw.py)
+    measured it ~1-2% SLOWER at both 7B (8.11 vs 8.02 ms/tok) and 1B
+    (1.430 vs 1.402) — the XLA dynamic_update_slice fuses into the step
+    graph for less than the 16-row aliased-window flush costs. It also
+    forces full-cache copies in any harness that discards the returned
+    cache (the aliased outputs can't be donated there). Kept as a measured
+    experiment: =1 enables."""
+    return _flag("ZGML_TPU_LK_CACHEWRITE", "0")
+
+
 def lk_debug() -> bool:
     """Print the fused layer kernel's chosen block geometry at trace time."""
     return _get("ZGML_TPU_LK_DEBUG", "0") == "1"
@@ -219,6 +233,7 @@ def snapshot(dp_hint: int = 4096) -> dict:
         "tape_bf16": tape_bf16(),
         "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
         "attn_i8pv": attn_i8pv(),
+        "lk_cachewrite": lk_cachewrite(),
         "i8dot": i8dot(),
         "prefill_bf16": prefill_bf16(),
         "dyngrid": dyngrid(),

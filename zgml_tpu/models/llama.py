@@ -279,14 +279,18 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             half = cos.shape[-1]
             c2 = jnp.concatenate([cos, cos], -1).reshape(1, 2 * half)
             s2 = jnp.concatenate([-sin, sin], -1).reshape(1, 2 * half)
-            x2, k_cur, v_cur, did_ffn = attn_block_step(
+            x2, k_cur, v_cur, did_ffn, new_ck, new_cv = attn_block_step(
                 kcfg, layer, x, cache_k, cache_v, pos, c2, s2,
                 allow_ffn=tp_axis is None)
             if tp_axis is not None:
                 # kernel returned x + wo_partial (local heads); psum the
                 # partial, then re-add the replicated residual
                 x2 = x + _tp_reduce(x2 - x, tp_axis)
-            if isinstance(cache_k, tuple):
+            if new_ck is not None:
+                # bf16 cache: K/V written at `pos` INSIDE the kernel
+                # (aliased output blocks) — no XLA update needed
+                cache_k, cache_v = new_ck, new_cv
+            elif isinstance(cache_k, tuple):
                 from zgml_tpu.quant.kv_cache import (quantize_columns,
                                                      write_columns)
                 kq_n, ks_n = quantize_columns(k_cur)

@@ -97,14 +97,22 @@ def _layer_kernel(
         wo_ref, wos_ref,                          # head-group wo3 blocks
         g2_ref, gu_ref, gs_ref, us_ref,           # FFN (dummies if !has_ffn)
         dn_ref, ds_ref,
-        xout_ref, kcur_ref, vcur_ref,             # outputs
-        inv_scr, accq_scr, q2_scr, kv2_scr, qq_scr, qs_scr,
-        m_scr, l_scr, acc_scr,
-        att_scr, accwo_scr, x2_scr, xn2_scr,
-        *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
+        *rest_refs,
+        kind: str, hq: int, hkv: int, hd: int, d_logical: int,
         nA: int, ncA: int, nC: int, nE: int, hg: int, bkA: int, bkB: int,
         ckE: int, cdE: int, eps: float, scale: float, has_ffn: bool,
-        kv_i8: bool, a_i8: bool):
+        kv_i8: bool, a_i8: bool, write_cache: bool = False):
+    if write_cache:
+        # +2 aliased cache outputs (the 16-row window holding row `pos`)
+        (xout_ref, kcur_ref, vcur_ref, cko_ref, cvo_ref) = rest_refs[:5]
+        scratch = rest_refs[5:]
+    else:
+        cko_ref = cvo_ref = None
+        xout_ref, kcur_ref, vcur_ref = rest_refs[:3]
+        scratch = rest_refs[3:]
+    (inv_scr, accq_scr, q2_scr, kv2_scr, qq_scr, qs_scr,
+     m_scr, l_scr, acc_scr,
+     att_scr, accwo_scr, x2_scr, xn2_scr) = scratch
     i = pl.program_id(0)
     pos = sref[0]
     n_b = sref[1]
@@ -274,6 +282,31 @@ def _layer_kernel(
         safe = jnp.where(l > 0, l, 1.0)
         att = acc / safe                             # [hkv, nr, hd]
         att_scr[:] = att.reshape(hq, 1, hd)
+        if write_cache:
+            # In-place cache write through the aliased 16-row output window
+            # holding row `pos` — replaces the 2-per-layer XLA
+            # dynamic_update_slices (~0.39 ms/token at 7B, tools/exp_scan.py).
+            # Live rows (< pos) of the window always sit inside the LAST
+            # B-phase cache block (bkB % 16 == 0, woff >= (n_b-1)*bkB when
+            # any window row < pos), which is still resident here because
+            # the kv index maps clamp at block n_b-1; dead rows (>= pos)
+            # get kcur/vcur — deterministic filler, overwritten before read.
+            woff = (pos // 16) * 16
+            # every term is a multiple of 16 but Mosaic can't prove it
+            # through the clip — assert the alignment for the dynamic
+            # sublane load
+            off = pl.multiple_of(
+                jnp.clip(woff - (n_b - 1) * bkB, 0, bkB - 16), 16)
+            grow = woff + jax.lax.broadcasted_iota(
+                jnp.int32, (hkv, 16, hd), 1)
+            nbk = ck_ref[:, pl.ds(off, 16), :].astype(jnp.float32)
+            nbv = cv_ref[:, pl.ds(off, 16), :].astype(jnp.float32)
+            cko_ref[:] = jnp.where(
+                grow < pos, nbk,
+                kcur_ref[:][:, None, :]).astype(cko_ref.dtype)
+            cvo_ref[:] = jnp.where(
+                grow < pos, nbv,
+                vcur_ref[:][:, None, :]).astype(cvo_ref.dtype)
 
     # -- phase C: output projection per head group --------------------------
     @pl.when((i >= b_end) & (i < c_end))
@@ -367,16 +400,19 @@ def _choose(total: int, limit: int, mult: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "hq", "hkv", "hd", "d_logical", "s_len",
-                     "eps", "dp", "has_ffn", "kv_i8", "a_i8", "tune"))
+                     "eps", "dp", "has_ffn", "kv_i8", "a_i8", "tune",
+                     "cache_write"))
 def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
                 ck, cks, cv, cvs,
                 wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds, pos,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
                 s_len: int, eps: float, dp: int, has_ffn: bool,
                 kv_i8: bool = False, a_i8: bool = False,
-                tune: tuple = ()):
+                tune: tuple = (), cache_write: bool = True):
     """x [8, dp] f32 (row 0 live); PLANAR wqkv, head-major wo3, N-packed FFN;
-    ck/cv [hkv, S, hd]. Returns (x_out [8, dp], kcur, vcur [hkv, hd])."""
+    ck/cv [hkv, S, hd]. Returns (x_out [8, dp], kcur, vcur [hkv, hd]) plus,
+    on the bf16-cache path, the in-place-updated (ck, cv) — the current
+    token's rope'd K/V written at row `pos` via aliased output blocks."""
     htot = hq + 2 * hkv
     # planar packed K rows (Kp or Kp/2); a_i8 passes a [rows/32, 32, n] view
     kq = qkv_q.shape[0] * (QK if qkv_q.ndim == 3 else 1)
@@ -471,6 +507,11 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
         else:
             ncA, hg, bkB, bfE = best[1]
             bfE = bfE if has_ffn else 128
+    # in-kernel cache write needs 16-row (bf16-tile) aligned windows that
+    # provably sit inside the last B block; otherwise the caller falls back
+    # to the XLA dynamic_update_slice
+    write_cache = (cache_write and not kv_i8
+                   and bkB % 16 == 0 and s_len % 16 == 0)
     if config.lk_debug():
         print(f"[layerkernel] bkA={bkA} ncA={ncA} bkB={bkB} hg={hg} "
               f"bfE={bfE if has_ffn else 0} est={vmem_est(bkB, hg, bfE if has_ffn else 0, ncA)>>20}MB "
@@ -595,7 +636,14 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
             pl.BlockSpec((8, dp), lambda i, s: (0, 0)),          # x_out
             pl.BlockSpec((hkv, hd), lambda i, s: (0, 0)),        # kcur
             pl.BlockSpec((hkv, hd), lambda i, s: (0, 0)),        # vcur
-        ],
+        ] + ([
+            # aliased in-place cache updates: the 16-row window holding row
+            # `pos`, flushed once at grid end — every other byte of the
+            # cache stays the aliased input's (no copy: ck/cv are donated
+            # to these outputs and have no other uses in the layer step)
+            pl.BlockSpec((hkv, 16, hd), lambda i, s: (0, s[0] // 16, 0)),
+            pl.BlockSpec((hkv, 16, hd), lambda i, s: (0, s[0] // 16, 0)),
+        ] if write_cache else []),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),                   # inv rms
             pltpu.VMEM((8, n_qkv), jnp.float32),                 # acc qkv flat
@@ -617,13 +665,21 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
             _layer_kernel, kind=kind, hq=hq, hkv=hkv, hd=hd,
             d_logical=d_logical, nA=nA, ncA=ncA, nC=nC, nE=nE, hg=hg,
             bkA=bkA, bkB=bkB, ckE=ckE, cdE=cdE, eps=eps, scale=scale,
-            has_ffn=has_ffn, kv_i8=kv_i8, a_i8=a_i8),
+            has_ffn=has_ffn, kv_i8=kv_i8, a_i8=a_i8,
+            write_cache=write_cache),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, dp), jnp.float32),
             jax.ShapeDtypeStruct((hkv, hd), jnp.float32),
             jax.ShapeDtypeStruct((hkv, hd), jnp.float32),
-        ],
+        ] + ([
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+        ] if write_cache else []),
+        # flattened-input indices INCLUDE the scalar-prefetch operand
+        # (convention per jax pallas gmm): sarr=0, x=1, g1=2, acts 3-8,
+        # qkv 9-11, rope 12-13, ck=14, cks=15, cv=16, cvs=17, ...
+        input_output_aliases={14: 3, 16: 4} if write_cache else {},
         interpret=_interpret(),
     )(sarr, x, g1,
       *((xq_t, xq_t, xs_t, xs_t, xsum_t, xsum_t, qkv_q) if a_i8
@@ -662,8 +718,11 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
     """One fused layer (or attention block). x [1, 1, d] f32; cache
     [1, hkv, S, hd].
 
-    Returns (x_out [1, 1, d], k_cur [1, hkv, 1, hd], v_cur, did_ffn) where
-    did_ffn says whether the kernel already applied norm2+FFN+residual."""
+    Returns (x_out [1, 1, d], k_cur [1, hkv, 1, hd], v_cur, did_ffn,
+    new_cache_k, new_cache_v): on the bf16-cache path new_cache_k/v are the
+    IN-PLACE-updated caches (K/V written at `pos` inside the kernel via
+    aliased output blocks — no XLA dynamic_update_slice); for the int8
+    tuple cache they are None and the caller quantizes+writes k_cur/v_cur."""
     from zgml_tpu.quant.repack import PackedWeight
     wqkv: PackedWeight = layer["wqkv"]
     wo3: HeadPacked = layer["wo3"]
@@ -735,15 +794,22 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
         gs = us = jnp.zeros((dp // QK, 128), jnp.float32)
         dn_q = jnp.zeros((128, dp // 2), jnp.int8)
         ds = jnp.zeros((max(128 // QK, 1), dp), jnp.float32)
-    x_out, kcur, vcur = _layer_call(
+    outs = _layer_call(
         xp, g1, xq_t, xs_t, xsum_t, qkv_pass, wqkv.scales, cos2, sin2,
         ck, cks, cv, cvs,
         wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
         kind=wqkv.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
         s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn,
-        kv_i8=kv_i8, a_i8=a_i8, tune=config.layer_tune())
+        kv_i8=kv_i8, a_i8=a_i8, tune=config.layer_tune(),
+        cache_write=config.lk_cachewrite())
+    x_out, kcur, vcur = outs[:3]
+    if len(outs) == 5:
+        new_ck = outs[3].reshape(cache_k.shape)
+        new_cv = outs[4].reshape(cache_v.shape)
+    else:       # int8 tuple cache, or window-alignment fallback
+        new_ck = new_cv = None
     x_out = x_out[0:1, :d].reshape(1, 1, d).astype(x.dtype)
     return (x_out,
             kcur.reshape(1, hkv, 1, hd),
             vcur.reshape(1, hkv, 1, hd),
-            has_ffn)
+            has_ffn, new_ck, new_cv)

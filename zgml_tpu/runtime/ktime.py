@@ -213,7 +213,7 @@ def profile_decode_kernels(model, kv_len: int = 256, batch: int = 1,
                          jnp.float32)
 
         def f_ab(x, layer, ck1, cv1, c2, s2):
-            x2, _, _, _ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len,
+            x2, *_ = attn_block_step(cfg, layer, x, ck1, cv1, kv_len,
                                           c2, s2)
             return x2
 
