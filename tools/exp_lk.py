@@ -51,20 +51,21 @@ def f_ab(x, layer, ck1, cv1, c2, s2):
 
 
 args = (x1, layer0, kc, vc, cos2, sin2)
+# round-4 focus: the kernel profile shows attn_block at 526 GB/s vs the FFN
+# megakernel's 610 at kv=576 — the B (KV) phase is the gap. bkB sweep at the
+# bench's mid-generation context, holding the tuned A/C geometry (ncA=2,hg=2)
 VARIANTS = {
     "base(auto)": ((f_ab,) + args, {"ZGML_TPU_LAYER_TUNE": ""}),
-    # bigger budget only: auto-shrink stops earlier -> bigger blocks
-    "budget8M": ((f_ab,) + args, {"ZGML_TPU_LAYER_TUNE": "0,0,0,0,8"}),
-    # full-width A blocks (ncA=1), narrow B, small head groups
-    "nca1,bkB64,hg4,8M": ((f_ab,) + args,
-                          {"ZGML_TPU_LAYER_TUNE": "0,1,64,4,8"}),
-    "nca1,bkB128,hg8,8M": ((f_ab,) + args,
-                           {"ZGML_TPU_LAYER_TUNE": "0,1,128,8,8"}),
-    # taller A blocks at half width
-    "bka512,bkB64,hg4,8M": ((f_ab,) + args,
-                            {"ZGML_TPU_LAYER_TUNE": "512,0,64,4,8"}),
-    "nca1,bkB64,hg2,7M": ((f_ab,) + args,
-                          {"ZGML_TPU_LAYER_TUNE": "0,1,64,2,7"}),
+    "nca2,bkB128,hg2,9M": ((f_ab,) + args,
+                           {"ZGML_TPU_LAYER_TUNE": "0,2,128,2,9"}),
+    "nca2,bkB256,hg2,9M": ((f_ab,) + args,
+                           {"ZGML_TPU_LAYER_TUNE": "0,2,256,2,9"}),
+    "nca2,bkB128,hg4,9M": ((f_ab,) + args,
+                           {"ZGML_TPU_LAYER_TUNE": "0,2,128,4,9"}),
+    "nca1,bkB128,hg2,9M": ((f_ab,) + args,
+                           {"ZGML_TPU_LAYER_TUNE": "0,1,128,2,9"}),
+    "nca2,bkB64,hg2,9M": ((f_ab,) + args,
+                          {"ZGML_TPU_LAYER_TUNE": "0,2,64,2,9"}),
 }
 
 results = {}

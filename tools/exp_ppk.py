@@ -58,10 +58,25 @@ dt = time_call(lambda x, w: ops.qmatmul(x, w), att_in, layer0["wo"],
                reps=8, reps2=40)
 add("wo", dt, L, 2 * m * hq * hd * d)
 
-if "w_gate_up" in layer0:
-    dt = time_call(lambda x, w, w2: ops.fused_ffn(x, w, w2), x,
-                   layer0["w_gate_up"], layer0["w_down"], reps=8, reps2=40)
-    add("ffn(gu+down)", dt, L, 2 * m * d * 3 * F)
+g1 = jnp.ones((d,), jnp.float32)
+
+
+def ffn(x, layer):
+    out = None
+    if "ffn_q4n" in layer:
+        out = ops.fused_ffn_norm_q4n(x, g1, layer["ffn_q4n"], d, 1e-5)
+    if out is None and "w_gate_up" in layer:
+        out = ops.fused_ffn(x, layer["w_gate_up"], layer["w_down"])
+    if out is None:
+        gu = ops.qmatmul(x, layer["w_gate_up"])
+        f = gu.shape[-1] // 2
+        act = refs.swiglu_ref(gu[..., :f], gu[..., f:])
+        out = ops.qmatmul(act, layer["w_down"])
+    return out
+
+
+dt = time_call(lambda x, l: ffn(x, l), x, layer0, reps=8, reps2=40)
+add("ffn(gu+down)", dt, L, 2 * m * d * 3 * F)
 
 # attention at mid-prefill kv
 kv_len = pos + m

@@ -43,16 +43,20 @@ args = (step_fn, x0, model.params, cache)
 
 import os                                                       # noqa: E402
 os.environ["ZGML_TPU_LK_DEBUG"] = "1"
+# round-4 kv=576 question: the kernel profile shows attn_block at 526 GB/s
+# vs the FFN's 610 — is a bigger B (KV) block the fix at the bench's
+# mid-generation context? (isolated exp_lk A/Bs resolved poorly: same
+# geometry measured 75 vs 134 us across variants in one run)
 VARIANTS = {
-    "nca4,bkB64,hg2(ctrl)": (args, {"ZGML_TPU_LAYER_TUNE": "0,4,64,2,8",
+    "auto(nca2,bkB64,hg2)": (args, {"ZGML_TPU_LAYER_TUNE": "",
                                     "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca2,bkB64,hg2,10M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,64,2,10",
+    "nca2,bkB128,hg2,14M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,128,2,14",
+                                   "ZGML_TPU_LAYER_FFN": "0"}),
+    "nca4,bkB128,hg2,9M": (args, {"ZGML_TPU_LAYER_TUNE": "0,4,128,2,9",
                                   "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca2,bkB64,hg4,11M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,64,4,11",
-                                  "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca1,bkB64,hg2,13M": (args, {"ZGML_TPU_LAYER_TUNE": "0,1,64,2,13",
-                                  "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca4,bkB128,hg2,11M": (args, {"ZGML_TPU_LAYER_TUNE": "0,4,128,2,11",
+    "nca2,bkB128,hg4,14M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,128,4,14",
+                                   "ZGML_TPU_LAYER_FFN": "0"}),
+    "nca2,bkB256,hg2,15M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,256,2,15",
                                    "ZGML_TPU_LAYER_FFN": "0"}),
 }
 

@@ -42,12 +42,24 @@ def _dyngrid() -> bool:
 # -- prefill flash attention --------------------------------------------------
 
 def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, bq: int, bk: int, scale: float, n_kb: int,
+                  *, bq: int, bk: int, scale: float, n_rep: int,
                   bf16: bool = True):
+    """One grid step = a GROUP of KV heads (ghk) over one (q-block, kv-block).
+
+    The round-4 prefill profile showed the per-head grid (bhq, n_qb, n_kb)
+    paying ~2us/step on 32KB KV DMAs — ~400us/layer at 7B pp256, HALF the
+    chunk time (tools/exp_ppk.py). Folding heads into the block (the same
+    fix _decode_kernel got in round 2) turns 192 steps of tiny dots into
+    ~24 steps of MB-scale DMAs + one batched MXU dot per step. GQA merges
+    each KV head's n_rep query heads into the sublane axis of one batched
+    dot (layout-preserving reshape: bq % 8 == 0)."""
     qb = pl.program_id(1)
     kb = pl.program_id(2)
+    n_kb = pl.num_programs(2)          # dynamic when the grid dim is traced
     kv_len = lens_ref[0]       # valid keys
     q_off = lens_ref[1]        # absolute position of query row 0
+    ghk, bkk, d = k_ref.shape
+    nrbq = n_rep * bq
 
     @pl.when(kb == 0)
     def _():
@@ -67,39 +79,46 @@ def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         # ZGML_TPU_PREFILL_BF16 gate so one switch restores f32 numerics
         # across BOTH the dequant-matmul tier and the flash kernels
         mxu = jnp.bfloat16 if bf16 else jnp.float32
-        q = q_ref[0].astype(mxu)                  # [bq, d]
-        k = k_ref[0].astype(mxu)                  # [bk, d]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        # [ghk*n_rep*bq, ...] -> [ghk, n_rep*bq, d]: leading-dim regroup only
+        q = q_ref[:].reshape(ghk, nrbq, d).astype(mxu)
+        k = k_ref[:].astype(mxu)                  # [ghk, bk, d]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
-        # mask: key j (abs kb*bk+j) must be < kv_len and <= q_off + (qb*bq+i)
-        ki = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + kb * bk
-        qi = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qb * bq + q_off
+        # mask: key j (abs kb*bk+j) must be < kv_len and <= q_off + row pos;
+        # row r of the merged axis is query row r % bq of its rep
+        ki = jax.lax.broadcasted_iota(jnp.int32, (ghk, nrbq, bk), 2) + kb * bk
+        # row r of the merged axis is query row r % bq of its rep — build it
+        # as a 4D iota over (.., n_rep, bq, ..) and leading-regroup (no rem)
+        qi = (jax.lax.broadcasted_iota(
+            jnp.int32, (ghk, n_rep, bq, bk), 2).reshape(ghk, nrbq, bk)
+            + qb * bq + q_off)
         valid = (ki < kv_len) & (ki <= qi)
         s = jnp.where(valid, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]                      # [bq, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[:, :, :1]                   # [ghk, nrbq, 1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                     # [bq, bk]
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:, :1] = m_new
+        p = jnp.exp(s - m_new)                     # [ghk, nrbq, bk]
+        l_ref[:, :, :1] = (l_ref[:, :, :1] * alpha
+                           + jnp.sum(p, axis=2, keepdims=True))
+        m_ref[:, :, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(mxu), v_ref[0].astype(mxu),
-            (((1,), (0,)), ((), ())),
+            p.astype(mxu), v_ref[:].astype(mxu),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
     @pl.when(kb == n_kb - 1)
     def _():
-        l = l_ref[:, :1]
+        l = l_ref[:, :, :1]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / safe).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk", "scale",
-                                             "bf16"))
+                                             "bf16", "dyn"))
 def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int,
-           scale: float, bf16: bool = True):
+           scale: float, bf16: bool = True, dyn: bool = True):
     """q: [B*Hq, Tq, d], k/v: [B'*Hkv, S, d], lens: int32 [3] =
     (kv_len, q_off, kv_row).
 
@@ -118,34 +137,63 @@ def _flash(q, k, v, lens, *, hq: int, n_rep: int, bq: int, bk: int,
     bhq, tq, d = q.shape
     bhkv, s, _ = k.shape
     n_qb = tq // bq
-    n_kb = s // bk
     hkv = hq // n_rep
+    b = bhq // hq
+    # KV-head group size: the largest divisor of hkv whose per-step working
+    # set fits VMEM. Bigger groups = fewer grid steps and MB-scale KV DMAs
+    # (see _flash_kernel docstring).
+    nrbq = n_rep * bq
+    ghk = hkv
+    while ghk > 1:
+        est = (2 * ghk * nrbq * d * 4          # q block (x2 buffers)
+               + 4 * ghk * bk * d * 2          # k+v blocks (x2 buffers)
+               + 2 * ghk * nrbq * d * 4        # out block
+               + ghk * nrbq * bk * 4           # scores temp
+               + 2 * ghk * nrbq * 128 * 4      # m/l scratch
+               + ghk * nrbq * d * 4)           # acc scratch
+        if est <= (10 << 20) and hkv % ghk == 0:
+            break
+        ghk -= 1
+    while hkv % ghk:
+        ghk -= 1
+    gq = ghk * n_rep
+    # DYNAMIC KV grid dim: the causal mask zeroes every key >= q_off + tq and
+    # >= kv_len, so only ceil(min(kv_len, q_off+tq)/bk) blocks can contribute.
+    # Same compiled program for every length — the dim is a traced scalar.
+    if dyn:
+        live = jnp.minimum(jnp.asarray(s, jnp.int32),
+                           jnp.minimum(lens[0], lens[1] + tq).astype(jnp.int32))
+        n_kb = jnp.clip((live + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
+    else:
+        n_kb = s // bk
+    ngrp = hkv // ghk                  # kv-head groups per batch element
 
-    def kv_index(h, qb_, kb_, lens_ref):
+    def kv_index(g, qb_, kb_, lens_ref):
         live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
         last_kb = jnp.maximum(live_end - 1, 0) // bk
-        return ((lens_ref[2] + h // hq) * hkv + (h % hq) // n_rep,
+        return ((lens_ref[2] + g // ngrp) * ngrp + g % ngrp,
                 jnp.minimum(kb_, last_kb), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bhq, n_qb, n_kb),
+        grid=(b * ngrp, n_qb, n_kb),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
-            pl.BlockSpec((1, bk, d), kv_index),
-            pl.BlockSpec((1, bk, d), kv_index),
+            pl.BlockSpec((gq, bq, d), lambda g, qb_, kb_, lens_ref:
+                         (g, qb_, 0)),
+            pl.BlockSpec((ghk, bk, d), kv_index),
+            pl.BlockSpec((ghk, bk, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, bq, d),
-                               lambda h, qb_, kb_, lens_ref: (h, qb_, 0)),
+        out_specs=pl.BlockSpec((gq, bq, d),
+                               lambda g, qb_, kb_, lens_ref: (g, qb_, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),  # running max (col 0 used)
-            pltpu.VMEM((bq, 128), jnp.float32),  # running sum
-            pltpu.VMEM((bq, d), jnp.float32),    # output accumulator
+            pltpu.VMEM((ghk, nrbq, 128), jnp.float32),  # running max (col 0)
+            pltpu.VMEM((ghk, nrbq, 128), jnp.float32),  # running sum
+            pltpu.VMEM((ghk, nrbq, d), jnp.float32),    # output accumulator
         ],
     )
     return pl.pallas_call(
-        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb,
-                          bf16=bf16),
+        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale,
+                          n_rep=n_rep, bf16=bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
         interpret=_interpret(),
@@ -186,9 +234,19 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
             tq_pad = (tq + bq_eff - 1) // bq_eff * bq_eff
     qp = q if tq_pad == tq else jnp.pad(
         q, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+    # tile-legal KV block: halve while it divides S, but never below the
+    # 8-sublane floor — odd S (ppl-eval windows, conformance stress shapes)
+    # pads the cache up instead (ki < kv_len masks the padded keys; pad is
+    # differentiable so training's dk/dv slice back automatically)
     bk_eff = min(bk, s)
-    while s % bk_eff:
+    while bk_eff >= 16 and s % bk_eff:
         bk_eff //= 2
+    s_pad = s
+    if s % bk_eff:
+        bk_eff = min(bk, 128)
+        s_pad = -(-s // bk_eff) * bk_eff
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
     lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
                       jnp.asarray(q_offset, jnp.int32).reshape(()),
                       jnp.asarray(kv_row, jnp.int32).reshape(())])
@@ -198,9 +256,9 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     # (materializes O(T^2) scores). Zero overhead when not differentiating.
     from zgml_tpu.ops.flash_vjp import make_flash_vjp
     f = make_flash_vjp(hq, n_rep, bq_eff, bk_eff, 1.0 / (d ** 0.5),
-                       bf16=config.prefill_bf16())
-    out = f(qp.reshape(b * hq, tq_pad, d), k.reshape(-1, s, d),
-            v.reshape(-1, s, d), lens)
+                       bf16=config.prefill_bf16(), dyn=_dyngrid())
+    out = f(qp.reshape(b * hq, tq_pad, d), k.reshape(-1, s_pad, d),
+            v.reshape(-1, s_pad, d), lens)
     return out.reshape(b, hq, tq_pad, d)[:, :, :tq]
 
 
@@ -464,9 +522,19 @@ def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
     qsc = qmax / 127.0
     qinv = jnp.where(qsc > 0, 1.0 / jnp.where(qsc > 0, qsc, 1.0), 0.0)
     qq = jnp.clip(jnp.round(qg * qinv[:, :, None]), -127, 127).astype(jnp.int8)
+    # S is the LANE axis of the d-major int8 cache (128 floor); odd S pads
+    # the cache up — the in-kernel ki < kv_len mask covers padded keys
     bs_eff = min(bs, s)
-    while s % bs_eff:
+    while bs_eff >= 256 and s % bs_eff:
         bs_eff //= 2
+    if s % bs_eff:
+        bs_eff = min(bs, 128)
+        pad = -(-s // bs_eff) * bs_eff - s
+        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        vq = jnp.pad(vq, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad)))
+        s += pad
     lens = _expand_lens(kv_len, b)
     out = _decode_q8(qq, qsc.reshape(b, hkv, nr_pad),
                      kq.reshape(b * hkv, d, s),
@@ -491,9 +559,17 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     if nr_pad != n_rep:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, nr_pad - n_rep), (0, 0)))
     qg = qg.reshape(b * hkv, nr_pad, d)
+    # tile-legal KV block (8-sublane floor); odd S (conformance stress,
+    # ppl-eval windows) pads the cache up — ki < kv_len masks padded keys
     bk_eff = min(bk, s)
-    while s % bk_eff:
+    while bk_eff >= 16 and s % bk_eff:
         bk_eff //= 2
+    if s % bk_eff:
+        bk_eff = min(bk, 128)
+        pad = -(-s // bk_eff) * bk_eff - s
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        s += pad
     lens = _expand_lens(kv_len, b)
     out = _decode(qg, k.reshape(b * hkv, s, d), v.reshape(b * hkv, s, d), lens,
                   hkv=hkv, bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad,
@@ -574,9 +650,11 @@ def _flash_q8(q, kq, ks, vq, vs, lens, *, hq: int, n_rep: int, bq: int,
     n_qb = tq // bq
     hkv = hq // n_rep
     if dyn:
+        # min, not max: keys >= q_off + tq are causally dead for every query
+        # row, and keys >= kv_len are masked — both bounds cut blocks
         live = jnp.minimum(
             jnp.asarray(s, jnp.int32),
-            jnp.maximum(lens[0], lens[1] + tq).astype(jnp.int32))
+            jnp.minimum(lens[0], lens[1] + tq).astype(jnp.int32))
         n_kb = jnp.clip((live + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
     else:
         n_kb = s // bk
@@ -643,9 +721,19 @@ def flash_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs,
             tq_pad = (tq + bq_eff - 1) // bq_eff * bq_eff
     qp = q if tq_pad == tq else jnp.pad(
         q, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+    # S is the LANE axis of the d-major int8 cache, so blocks need bk % 128
+    # (or bk == S); odd S pads the cache up (ki < kv_len masks padded keys)
     bk_eff = min(bk, s)
-    while s % bk_eff:
+    while bk_eff >= 256 and s % bk_eff:
         bk_eff //= 2
+    if s % bk_eff:
+        bk_eff = min(bk, 128)
+        pad = -(-s // bk_eff) * bk_eff - s
+        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        vq = jnp.pad(vq, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad)))
+        s += pad
     lens = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
                       jnp.asarray(q_offset, jnp.int32).reshape(()),
                       jnp.asarray(kv_row, jnp.int32).reshape(())])

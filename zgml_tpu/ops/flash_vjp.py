@@ -39,10 +39,11 @@ from zgml_tpu.ops.attention import NEG_INF, _flash, _interpret
 # -- forward with LSE ---------------------------------------------------------
 
 def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *, bq, bk, scale, n_kb,
+                m_ref, l_ref, acc_ref, *, bq, bk, scale,
                 bf16=True):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
+    n_kb = pl.num_programs(2)          # dynamic when the grid dim is traced
     kv_len = lens_ref[0]
     q_off = lens_ref[1]
 
@@ -92,16 +93,25 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("hq", "n_rep", "bq", "bk",
-                                             "scale", "bf16"))
-def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale, bf16=True):
+                                             "scale", "bf16", "dyn"))
+def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale, bf16=True,
+               dyn=True):
     """Like attention._flash but also returns LSE [tq, B*Hq] (transposed).
 
     lens [3] = (kv_len, q_off, kv_row); kv_row offsets into a larger batched
     cache (see attention._flash) — the backward kernels assume kv_row == 0."""
     bhq, tq, d = q.shape
     _, s, _ = k.shape
-    n_qb, n_kb = tq // bq, s // bk
+    n_qb = tq // bq
     hkv = hq // n_rep
+    # dynamic KV grid dim (see attention._flash): the causal mask kills every
+    # key >= min(kv_len, q_off + tq), so dead blocks need not even be steps
+    if dyn:
+        live = jnp.minimum(jnp.asarray(s, jnp.int32),
+                           jnp.minimum(lens[0], lens[1] + tq).astype(jnp.int32))
+        n_kb = jnp.clip((live + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
+    else:
+        n_kb = s // bk
 
     def kv_index(h, qb_, kb_, lens_ref):
         live_end = jnp.minimum(lens_ref[0], lens_ref[1] + (qb_ + 1) * bq)
@@ -128,7 +138,7 @@ def _flash_fwd(q, k, v, lens, *, hq, n_rep, bq, bk, scale, bf16=True):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, bq=bq, bk=bk, scale=scale, n_kb=n_kb,
+        functools.partial(_fwd_kernel, bq=bq, bk=bk, scale=scale,
                           bf16=bf16),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bhq, tq, d), q.dtype),
@@ -328,20 +338,22 @@ def _flash_dkv(q, k, v, do, o, lse, lens, *, hq, n_rep, bq, bk, scale,
 
 @functools.lru_cache(maxsize=None)
 def make_flash_vjp(hq: int, n_rep: int, bq: int, bk: int, scale: float,
-                   bf16: bool = True):
+                   bf16: bool = True, dyn: bool = True):
     """custom_vjp-wrapped flash attention for one static geometry.
 
     Signature: f(q [B*Hq, Tq, d], k [B*Hkv, S, d], v, lens int32 [2]) -> o.
     bf16 selects the MXU operand dtype in forward AND backward (they must
-    match so the recomputed p agrees with the stored LSE)."""
+    match so the recomputed p agrees with the stored LSE). dyn enables the
+    dynamic KV grid dim in the forward kernels (backward grids stay static)."""
     kw = dict(hq=hq, n_rep=n_rep, bq=bq, bk=bk, scale=scale, bf16=bf16)
+    fkw = dict(kw, dyn=dyn)
 
     @jax.custom_vjp
     def f(q, k, v, lens):
-        return _flash(q, k, v, lens, **kw)
+        return _flash(q, k, v, lens, **fkw)
 
     def fwd(q, k, v, lens):
-        o, lse = _flash_fwd(q, k, v, lens, **kw)
+        o, lse = _flash_fwd(q, k, v, lens, **fkw)
         return o, (q, k, v, lens, o, lse)
 
     def bwd(res, g):
