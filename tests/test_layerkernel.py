@@ -153,6 +153,44 @@ def test_engine_fused_attn_block_matches_unfused(tmp_path, monkeypatch):
     assert cos > 0.999, cos
 
 
+def test_engine_stacked_kv_decode_matches_unrolled(tmp_path, monkeypatch):
+    """ZGML_TPU_KV_STACK=1: fused kernels read the stacked [L,...] cache via
+    scalar-prefetch slab maps and the step batches all layers' K/V into TWO
+    dynamic_update_slices — greedy tokens and logits must match the
+    per-layer list-cache path exactly (same kernels, same arithmetic)."""
+    from zgml_tpu.io.gguf import GGMLType
+    from zgml_tpu.io.llama_loader import load_llama
+    from zgml_tpu.runtime.engine import LlamaEngine
+    from zgml_tpu.utils.synthetic import write_synthetic_llama_gguf
+    cfg = LlamaConfig(vocab_size=96, d_model=256, n_heads=8, n_kv_heads=2,
+                      d_ff=192, n_layers=2, max_seq_len=96)
+    path = tmp_path / "m.gguf"
+    write_synthetic_llama_gguf(str(path), cfg, GGMLType.Q4_0, seed=23)
+    model, _ = load_llama(str(path), mode="quantized")
+
+    toks = [3, 1, 4, 1, 5]
+
+    def run(stack_env):
+        monkeypatch.setenv("ZGML_TPU_KV_STACK", stack_env)
+        eng = LlamaEngine(model, donate_cache=False)
+        assert (getattr(eng.cache["k"], "ndim", 0) == 5) == (stack_env == "1")
+        eng.prefill(toks)
+        seq, logits = [], []
+        t, l = eng.step(np.array([7]))
+        for _ in range(5):
+            seq.append(int(t[0]))
+            logits.append(np.asarray(l).ravel())
+            t, l = eng.step(t)
+        return seq, logits
+
+    seq_s, log_s = run("1")
+    seq_u, log_u = run("0")
+    assert seq_s == seq_u, (seq_s, seq_u)
+    for a, b in zip(log_s, log_u):
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.9999, cos
+
+
 def test_ffn_q4n_matches_oracle():
     from zgml_tpu.ops.ffn import fused_ffn_norm_q4n
     from zgml_tpu.quant.headmajor import ffn_npack

@@ -43,21 +43,18 @@ args = (step_fn, x0, model.params, cache)
 
 import os                                                       # noqa: E402
 os.environ["ZGML_TPU_LK_DEBUG"] = "1"
-# round-4 kv=576 question: the kernel profile shows attn_block at 526 GB/s
-# vs the FFN's 610 — is a bigger B (KV) block the fix at the bench's
-# mid-generation context? (isolated exp_lk A/Bs resolved poorly: same
-# geometry measured 75 vs 134 us across variants in one run)
+# round-4 A-phase question: attn_block streams 526 GB/s vs the FFN's 610
+# (7B kernel profile, kv=576) — the A phase's [256, 6144] 1.5MB blocks
+# amortize per-step cost worse than the FFN's ~4MB blocks. Bigger A blocks
+# via ncA=1 (full-width) and bkA=512 (double-height), budgets raised so the
+# tune shrink loop actually HOLDS the requested geometry (the earlier 9M
+# sweep silently doubled ncA — the printed label lied).
 VARIANTS = {
-    "auto(nca2,bkB64,hg2)": (args, {"ZGML_TPU_LAYER_TUNE": "",
-                                    "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca2,bkB128,hg2,14M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,128,2,14",
-                                   "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca4,bkB128,hg2,9M": (args, {"ZGML_TPU_LAYER_TUNE": "0,4,128,2,9",
-                                  "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca2,bkB128,hg4,14M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,128,4,14",
-                                   "ZGML_TPU_LAYER_FFN": "0"}),
-    "nca2,bkB256,hg2,15M": (args, {"ZGML_TPU_LAYER_TUNE": "0,2,256,2,15",
-                                   "ZGML_TPU_LAYER_FFN": "0"}),
+    "auto": (args, {"ZGML_TPU_LAYER_TUNE": "", "ZGML_TPU_LAYER_FFN": "0",
+                    "ZGML_TPU_LK_NOREGROUP": "0"}),
+    "auto+NOREGROUP(diag)": (args, {"ZGML_TPU_LAYER_TUNE": "",
+                                    "ZGML_TPU_LAYER_FFN": "0",
+                                    "ZGML_TPU_LK_NOREGROUP": "1"}),
 }
 
 results = {}

@@ -31,6 +31,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_TP_BARRIER=1          tp_barrier()       serialize TP collectives (overlap A/B)
   ZGML_TPU_LAYER_TUNE=a,b,c,d,e  layer_tune()       fused-layer block geometry (A/B)
   ZGML_TPU_LK_CACHEWRITE=1       lk_cachewrite()    in-kernel aliased KV-cache writes (measured slower)
+  ZGML_TPU_KV_STACK=1            kv_stack()         stacked [L,...] KV cache + 2-DUS batched writes
   ZGML_TPU_FFN_TUNE=bf,mb        ffn_tune()         FFN megakernel F-tile override (A/B)
   ZGML_TPU_LK_DEBUG=1            lk_debug()         print chosen layer-kernel geometry
 """
@@ -208,6 +209,15 @@ def lk_cachewrite() -> bool:
     return _flag("ZGML_TPU_LK_CACHEWRITE", "0")
 
 
+def kv_stack() -> bool:
+    """Stacked [L, ...] bf16 KV cache for the fused decode path: kernels
+    read their layer's slab via scalar-prefetch index maps and the step
+    batches every layer's K/V write into TWO dynamic_update_slices (the
+    2-per-layer unrolled writes measured ~386us/token at 7B,
+    tools/exp_scan.py). =0 restores the per-layer list cache."""
+    return _flag("ZGML_TPU_KV_STACK", "0")
+
+
 def lk_debug() -> bool:
     """Print the fused layer kernel's chosen block geometry at trace time."""
     return _get("ZGML_TPU_LK_DEBUG", "0") == "1"
@@ -234,6 +244,7 @@ def snapshot(dp_hint: int = 4096) -> dict:
         "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
         "attn_i8pv": attn_i8pv(),
         "lk_cachewrite": lk_cachewrite(),
+        "kv_stack": kv_stack(),
         "i8dot": i8dot(),
         "prefill_bf16": prefill_bf16(),
         "dyngrid": dyngrid(),

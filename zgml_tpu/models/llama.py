@@ -184,6 +184,52 @@ class _LocalCfgView:
     rms_norm_eps: float
 
 
+def _ffn_after_attn(cfg: LlamaConfig, layer, x, tp_axis):
+    """FFN half of a layer, after a fused attention block already produced
+    the post-attention residual stream x. Picks the fastest attached form
+    (N-packed Q4 megakernel > fused norm+FFN > composed ops)."""
+    d = cfg.d_model
+
+    def _ffn_res(x_new):
+        # fused kernels return x + ffn_partial; under TP psum the partial
+        # before it joins the replicated stream
+        if tp_axis is not None:
+            x_new = x + _tp_reduce(x_new - x, tp_axis)
+        return x_new.astype(x.dtype)
+
+    if "ffn_q4n" in layer:
+        # N-packed Q4 FFN: wide DMA runs + fused norm/residual
+        x_new = ops.fused_ffn_norm_q4n(x, layer["ffn_norm"],
+                                       layer["ffn_q4n"], d,
+                                       cfg.rms_norm_eps)
+        if x_new is not None:
+            return _ffn_res(x_new)
+    if "w_gate_up" in layer:
+        # norm + FFN + residual fused into the one FFN launch
+        x_new = ops.fused_ffn_norm(x, layer["ffn_norm"],
+                                   layer["w_gate_up"], layer["w_down"],
+                                   cfg.rms_norm_eps)
+        if x_new is not None:
+            return _ffn_res(x_new)
+    h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
+    ff_out = None
+    if "w_gate_up" in layer:
+        ff_out = ops.fused_ffn(h, layer["w_gate_up"], layer["w_down"])
+    if ff_out is None:
+        if "w_gate_up" in layer:
+            gu = _project(h, layer["w_gate_up"])
+            f = gu.shape[-1] // 2
+            gate, up = gu[..., :f], gu[..., f:]
+        else:
+            gate = _project(h, layer["w_gate"])
+            up = _project(h, layer["w_up"])
+        ff = refs.swiglu_ref(gate, up)
+        ff_out = _project(ff, layer["w_down"])
+    if tp_axis is not None:
+        ff_out = _tp_reduce(ff_out, tp_axis)
+    return x + ff_out.astype(x.dtype)
+
+
 def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
                 cos, sin, decode: bool, tp_axis: str | None = None,
                 tp_size: int = 1, cache_row=None, write_pos=None,
@@ -307,48 +353,8 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             x = x2.astype(x.dtype)
             if did_ffn:      # whole layer ran inside the one kernel
                 return x, cache_k, cache_v
-
-            def _ffn_res(x_new):
-                # fused kernels return x + ffn_partial; under TP psum the
-                # partial before it joins the replicated stream
-                if tp_axis is not None:
-                    x_new = x + _tp_reduce(x_new - x, tp_axis)
-                return x_new.astype(x.dtype)
-
-            if "ffn_q4n" in layer:
-                # N-packed Q4 FFN: wide DMA runs + fused norm/residual
-                x_new = ops.fused_ffn_norm_q4n(x, layer["ffn_norm"],
-                                               layer["ffn_q4n"], d,
-                                               cfg.rms_norm_eps)
-                if x_new is not None:
-                    return _ffn_res(x_new), cache_k, cache_v
-            if "w_gate_up" in layer:
-                # norm + FFN + residual fused into the one FFN launch
-                x_new = ops.fused_ffn_norm(x, layer["ffn_norm"],
-                                           layer["w_gate_up"],
-                                           layer["w_down"],
-                                           cfg.rms_norm_eps)
-                if x_new is not None:
-                    return _ffn_res(x_new), cache_k, cache_v
-            h = ops.rmsnorm(x, layer["ffn_norm"], cfg.rms_norm_eps)
-            ff_out = None
-            if "w_gate_up" in layer:
-                ff_out = ops.fused_ffn(h, layer["w_gate_up"],
-                                       layer["w_down"])
-            if ff_out is None:
-                if "w_gate_up" in layer:
-                    gu = _project(h, layer["w_gate_up"])
-                    f = gu.shape[-1] // 2
-                    gate, up = gu[..., :f], gu[..., f:]
-                else:
-                    gate = _project(h, layer["w_gate"])
-                    up = _project(h, layer["w_up"])
-                ff = refs.swiglu_ref(gate, up)
-                ff_out = _project(ff, layer["w_down"])
-            if tp_axis is not None:
-                ff_out = _tp_reduce(ff_out, tp_axis)
-            x = x + ff_out.astype(x.dtype)
-            return x, cache_k, cache_v
+            return (_ffn_after_attn(cfg, layer, x, tp_axis),
+                    cache_k, cache_v)
 
     h = ops.rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps)
     if tp_axis is not None:
@@ -546,14 +552,33 @@ class LlamaModel:
         return True
 
     # -- cache --------------------------------------------------------------
-    def init_cache(self, batch: int, dtype=jnp.bfloat16) -> dict:
+    def init_cache(self, batch: int, dtype=jnp.bfloat16,
+                   layout: str | None = None) -> dict:
         """KV cache matching the params layout: per-layer lists when layers are
         unrolled, stacked [L, ...] arrays when layers are stacked (scan).
 
         dtype="int8" builds the block-quantized cache (~3.6x smaller;
         ref: QuantizedKVCache, quant.zig:645-910) — unrolled layout only.
+
+        layout: "unrolled" forces the per-layer list (serving/cp paths),
+        "stacked" forces the [L, ...] array (bf16 only; the fused decode
+        path then batches all layers' writes into 2 DUS/step), None = auto
+        (params layout, with ZGML_TPU_KV_STACK opting the unrolled bf16
+        case into the stacked layout).
         """
         c = self.cfg
+        from zgml_tpu import config as _config
+        if (layout is None and dtype not in ("int8", jnp.int8)
+                and _config.kv_stack()):
+            layout = "stacked"
+        if layout == "stacked" and dtype not in ("int8", jnp.int8):
+            full = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len,
+                    c.head_dim)
+            return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
+        if layout == "unrolled" and dtype not in ("int8", jnp.int8):
+            shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
+            return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],
+                    "v": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)]}
         if dtype == "int8" or dtype is jnp.int8:
             # (with layers_tape + unrolled layers, int8 keeps the per-layer
             # list cache: the tape megacall is bf16-cache-only and forward's
@@ -612,7 +637,12 @@ class LlamaModel:
 
         stacked = params.get("layers_stacked")
         tape = params.get("layers_tape")
-        if ((stacked is not None or tape is not None)
+        # a stacked-ARRAY cache with unrolled per-layer weights (the
+        # ZGML_TPU_KV_STACK fused-decode layout) also routes here
+        stacked_cache = (not isinstance(cache["k"], (list, tuple))
+                         and getattr(cache["k"], "ndim", 0) == 5
+                         and isinstance(params.get("layers"), (list, tuple)))
+        if ((stacked is not None or tape is not None or stacked_cache)
                 and tp_axis is None and cache_row is None
                 and write_pos is None and getattr(pos, "ndim", 0) == 0
                 and not isinstance(cache["k"], (list, tuple))):
@@ -638,13 +668,54 @@ class LlamaModel:
                 x, ck, cv = stacked_decode_step(cfg, stacked, x, ck, cv,
                                                 pos, cos, sin)
             else:
-                # per-layer kernels against the stacked cache: flash reads
-                # batch row kv_row = layer (the serving slot mechanism reused
-                # as a layer index), writes are static-index in-place updates
-                for li, layer in enumerate(params["layers"]):
-                    x, ck, cv = _layer_step(cfg, x, layer, ck, cv, pos,
-                                            kv_len, cos, sin, decode,
-                                            kv_layer=li)
+                from zgml_tpu.ops.layerkernel import (attn_block_compatible,
+                                                      attn_block_enabled,
+                                                      attn_block_step)
+                layers_u = params["layers"]
+                fused = (decode and b == 1 and not isinstance(ck, tuple)
+                         and isinstance(layers_u, (list, tuple))
+                         and attn_block_enabled()
+                         and ops.use_pallas("attn_block")
+                         and all(attn_block_compatible(l, cfg, ck)
+                                 for l in layers_u))
+                if fused:
+                    # fused per-layer kernels READING the stacked cache
+                    # through scalar-prefetch slab index maps (no per-layer
+                    # slice: a slice feeding a custom call materializes);
+                    # all layers' K/V then batch into TWO
+                    # dynamic_update_slices per step — the 2-per-layer
+                    # unrolled writes measured ~386us/token at 7B
+                    # (tools/exp_scan.py fit/no-carry/carry decomposition)
+                    from zgml_tpu.runtime.profile import global_profile
+                    half = cos.shape[-1]
+                    c2 = jnp.concatenate([cos, cos], -1).reshape(1, 2 * half)
+                    s2 = jnp.concatenate([-sin, sin], -1).reshape(1, 2 * half)
+                    kcurs, vcurs = [], []
+                    for li, layer in enumerate(layers_u):
+                        global_profile.count_op("attn_block", "pallas")
+                        x2, k_cur, v_cur, did_ffn, _, _ = attn_block_step(
+                            cfg, layer, x, ck, cv, pos, c2, s2, kv_layer=li)
+                        x = x2.astype(x.dtype)
+                        kcurs.append(k_cur)
+                        vcurs.append(v_cur)
+                        if not did_ffn:
+                            x = _ffn_after_attn(cfg, layer, x, None
+                                                ).astype(x.dtype)
+                    kst = jnp.stack(kcurs)           # [L, 1, hkv, 1, hd]
+                    vst = jnp.stack(vcurs)
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kst.astype(ck.dtype), (0, 0, 0, pos, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, vst.astype(cv.dtype), (0, 0, 0, pos, 0))
+                else:
+                    # per-layer kernels against the stacked cache: flash
+                    # reads batch row kv_row = layer (the serving slot
+                    # mechanism reused as a layer index), writes are
+                    # static-index in-place updates
+                    for li, layer in enumerate(params["layers"]):
+                        x, ck, cv = _layer_step(cfg, x, layer, ck, cv, pos,
+                                                kv_len, cos, sin, decode,
+                                                kv_layer=li)
             x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
             lm_head = params.get("lm_head")
             if lm_head is None:

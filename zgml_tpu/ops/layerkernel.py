@@ -88,7 +88,7 @@ def _dequant(w_ref, s_lo_ref, s_hi_ref, kind):
 
 
 def _layer_kernel(
-        sref,                                     # [2] i32: pos, n_b
+        sref,                                     # [3] i32: pos, n_b, li
         xfull_ref, g1full_ref,                    # [8, dp], [1, dp]
         a1_ref, a2_ref, a3_ref, a4_ref, a5_ref, a6_ref,   # A-phase tiles
         qkv_ref, qslo_ref, qshi_ref,              # planar wqkv (2D or i8 3D)
@@ -202,6 +202,8 @@ def _layer_kernel(
     def _():
         nq = hq * hd
         nkv = hkv * hd
+        # (full-step A/B vs a zero-fill stand-in measured this 96-row regroup
+        # at ~0 cost — 7.464 vs 7.483 ms at 7B — so no need to avoid it)
         for h in range(hq):
             q2_scr[h:h + 1, :] = accq_scr[0:1, h * hd:(h + 1) * hd]
         for h in range(hkv):
@@ -404,7 +406,7 @@ def _choose(total: int, limit: int, mult: int) -> int:
                      "cache_write"))
 def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
                 ck, cks, cv, cvs,
-                wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds, pos,
+                wo_q, wo_s, g2, gu_q, gs, us, dn_q, ds, pos, li=0,
                 *, kind: str, hq: int, hkv: int, hd: int, d_logical: int,
                 s_len: int, eps: float, dp: int, has_ffn: bool,
                 kv_i8: bool = False, a_i8: bool = False,
@@ -527,7 +529,8 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
                    1, s_len // bkB).astype(jnp.int32)
     a_steps = nA * ncA
     grid = a_steps + n_b + nC + nE
-    sarr = jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()), n_b])
+    sarr = jnp.stack([jnp.asarray(pos, jnp.int32).reshape(()), n_b,
+                      jnp.asarray(li, jnp.int32).reshape(())])
     nsA = max(bkA // QK, 1)
 
     def _rowcol(i):
@@ -566,7 +569,9 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
         return (row + (nA if is_q4 else 0), col)
 
     def kvm(i, s):
-        return (0, jnp.clip(i - a_steps, 0, s[1] - 1), 0)
+        # s[2] = layer slab of a STACKED [L*hkv, S, hd] cache (0 when the
+        # cache is this layer's own [hkv, S, hd] array)
+        return (s[2], jnp.clip(i - a_steps, 0, s[1] - 1), 0)
 
     def kvm8(i, s):
         return (0, 0, jnp.clip(i - a_steps, 0, s[1] - 1))
@@ -641,8 +646,8 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
             # `pos`, flushed once at grid end — every other byte of the
             # cache stays the aliased input's (no copy: ck/cv are donated
             # to these outputs and have no other uses in the layer step)
-            pl.BlockSpec((hkv, 16, hd), lambda i, s: (0, s[0] // 16, 0)),
-            pl.BlockSpec((hkv, 16, hd), lambda i, s: (0, s[0] // 16, 0)),
+            pl.BlockSpec((hkv, 16, hd), lambda i, s: (s[2], s[0] // 16, 0)),
+            pl.BlockSpec((hkv, 16, hd), lambda i, s: (s[2], s[0] // 16, 0)),
         ] if write_cache else []),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),                   # inv rms
@@ -714,15 +719,19 @@ def attn_block_compatible(layer: dict, cfg, cache_k) -> bool:
 
 
 def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
-                    allow_ffn: bool = True):
+                    allow_ffn: bool = True, kv_layer=None):
     """One fused layer (or attention block). x [1, 1, d] f32; cache
-    [1, hkv, S, hd].
+    [1, hkv, S, hd] — or, with kv_layer set, the FULL STACKED cache
+    [L, 1, hkv, S, hd]: the kernel reads layer slab `kv_layer` through its
+    scalar-prefetch index maps (no per-layer slice, which would materialize
+    a copy in front of the custom call), and the CALLER batches all layers'
+    k_cur/v_cur into 2 dynamic_update_slices per step (the per-layer writes
+    measured ~386us/token at 7B, tools/exp_scan.py).
 
     Returns (x_out [1, 1, d], k_cur [1, hkv, 1, hd], v_cur, did_ffn,
-    new_cache_k, new_cache_v): on the bf16-cache path new_cache_k/v are the
-    IN-PLACE-updated caches (K/V written at `pos` inside the kernel via
-    aliased output blocks — no XLA dynamic_update_slice); for the int8
-    tuple cache they are None and the caller quantizes+writes k_cur/v_cur."""
+    new_cache_k, new_cache_v): with ZGML_TPU_LK_CACHEWRITE=1 on the
+    unrolled bf16-cache path new_cache_k/v are the IN-PLACE-updated caches
+    (aliased output blocks); otherwise None and the caller writes."""
     from zgml_tpu.quant.repack import PackedWeight
     wqkv: PackedWeight = layer["wqkv"]
     wo3: HeadPacked = layer["wo3"]
@@ -772,6 +781,7 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
         qkv_pass = wqkv.qvals
     kv_i8 = isinstance(cache_k, tuple)
     if kv_i8:
+        assert kv_layer is None, "int8 cache is unrolled-layout only"
         kq, ksc = cache_k
         vq, vsc = cache_v
         s_len = kq.shape[3]
@@ -779,6 +789,15 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
         cks = ksc.reshape(1, hkv, s_len)
         cv = vq.reshape(hkv, hd, s_len)
         cvs = vsc.reshape(1, hkv, s_len)
+    elif kv_layer is not None:
+        # stacked [L, 1, hkv, S, hd] cache viewed as [L*hkv, S, hd]; the
+        # kernel's kv index maps pick slab kv_layer (scalar prefetch)
+        L = cache_k.shape[0]
+        s_len = cache_k.shape[3]
+        ck = cache_k.reshape(L * hkv, s_len, hd)
+        cks = jnp.zeros((1, hkv, 128), jnp.float32)
+        cv = cache_v.reshape(L * hkv, s_len, hd)
+        cvs = cks
     else:
         s_len = cache_k.shape[2]
         ck = cache_k.reshape(hkv, s_len, hd)
@@ -798,10 +817,11 @@ def attn_block_step(cfg, layer, x, cache_k, cache_v, pos, cos2, sin2,
         xp, g1, xq_t, xs_t, xsum_t, qkv_pass, wqkv.scales, cos2, sin2,
         ck, cks, cv, cvs,
         wo3.qvals, wo3.scales, g2, gu_q, gs, us, dn_q, ds, pos,
+        0 if kv_layer is None else kv_layer,
         kind=wqkv.kind, hq=hq, hkv=hkv, hd=hd, d_logical=d,
         s_len=s_len, eps=cfg.rms_norm_eps, dp=dp, has_ffn=has_ffn,
         kv_i8=kv_i8, a_i8=a_i8, tune=config.layer_tune(),
-        cache_write=config.lk_cachewrite())
+        cache_write=config.lk_cachewrite() and kv_layer is None)
     x_out, kcur, vcur = outs[:3]
     if len(outs) == 5:
         new_ck = outs[3].reshape(cache_k.shape)

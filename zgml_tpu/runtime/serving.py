@@ -92,7 +92,9 @@ class ContinuousBatchingEngine:
             self._b_loc = max_batch
             n_phys = max_batch
         self._n_phys = n_phys
-        self.cache = model.init_cache(n_phys, cache_dtype)
+        # per-layer list cache: serving's cache_row/write_pos slot paths
+        # route through the unrolled forward branch
+        self.cache = model.init_cache(n_phys, cache_dtype, layout="unrolled")
         self.prefill_chunk = min(prefill_chunk, self.cfg.max_seq_len)
         self._staging_cache_dtype = cache_dtype
         self.pos = np.zeros(n_phys, np.int64)
