@@ -130,10 +130,6 @@ class LlamaEngine:
         if t > self.cfg.max_seq_len:
             raise ValueError("SequenceTooLong")
         ck = self.cache["k"]
-        if not isinstance(ck, (list, tuple)) and getattr(ck, "ndim", 0) == 5:
-            raise ValueError(
-                "prefill_cp gathers into per-layer cache lists; construct "
-                "the engine with the unrolled layout (ZGML_TPU_KV_STACK=0)")
         int8_cache = ((isinstance(ck, list) and isinstance(ck[0], tuple))
                       or isinstance(ck, tuple))
         from zgml_tpu.parallel.cp import make_cp_prefill
