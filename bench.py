@@ -248,16 +248,39 @@ def main():
 
     # -- memory acceptance (ref perf-targets.md:226-230: memory <= 115%) -----
     peak_hbm = model_bytes = mem_frac = None
+    mem_src = "memory_stats"
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         peak_hbm = int(stats.get("peak_bytes_in_use",
                                  stats.get("bytes_in_use", 0)))
         if peak_hbm <= 0:
-            # some backends (the tunneled axon platform) expose memory_stats
-            # but report zeros — treat as unavailable, not as 0 GB used
+            # the tunneled axon platform exposes memory_stats but reports
+            # zeros — fall back to XLA's per-executable accounting:
+            # memory_analysis() on the compiled decode + prefill plans gives
+            # argument/output/temp/alias bytes; peak ~= max over executables
+            # of (arguments + outputs - donation aliases + temps + code)
+            mem_src = "memory_analysis"
+            import jax.numpy as _jnp
+
+            def _exe_bytes(lowered):
+                ma = lowered.compile().memory_analysis()
+                get = lambda n: int(getattr(ma, n, 0) or 0)  # noqa: E731
+                return (get("argument_size_in_bytes")
+                        + get("output_size_in_bytes")
+                        - get("alias_size_in_bytes")
+                        + get("temp_size_in_bytes")
+                        + get("generated_code_size_in_bytes"))
+
+            tok = _jnp.zeros((1, 1), _jnp.int32)
+            win = _jnp.zeros((1, chunk), _jnp.int32)
+            d_low = eng._decode_step.lower(model.params, tok, eng.cache, 0,
+                                           jax.random.PRNGKey(0))
+            p_low = eng._prefill_chunk.lower(model.params, win, eng.cache,
+                                             0, chunk)
+            peak_hbm = max(_exe_bytes(d_low), _exe_bytes(p_low))
+        if peak_hbm <= 0:
             peak_hbm = mem_frac = None
-            log("memory: peak HBM unavailable on this backend "
-                "(memory_stats reports 0)")
+            log("memory: peak HBM unavailable on this backend")
         else:
             from zgml_tpu.runtime.roofline import weight_bytes_per_token
             model_bytes = int(weight_bytes_per_token(model.params))
@@ -265,9 +288,10 @@ def main():
                               for c in jax.tree.leaves(eng.cache))
             budget = 1.15 * (model_bytes + cache_bytes)
             mem_frac = peak_hbm / budget if budget else None
-            log(f"memory: peak HBM {peak_hbm/1e9:.2f} GB vs model "
-                f"{model_bytes/1e9:.2f} GB + cache {cache_bytes/1e9:.2f} GB; "
-                f"peak/(1.15x model+cache) = {mem_frac:.2f} "
+            log(f"memory: peak HBM {peak_hbm/1e9:.2f} GB ({mem_src}) vs "
+                f"model {model_bytes/1e9:.2f} GB + cache "
+                f"{cache_bytes/1e9:.2f} GB; peak/(1.15x model+cache) = "
+                f"{mem_frac:.2f} "
                 f"({'ok' if mem_frac <= 1.0 else 'OVER the 115% contract'})")
     except Exception as e:          # memory_stats absent on some backends
         log(f"memory stats unavailable: {e}")

@@ -263,6 +263,7 @@ def test_decode_attention_edge_sweep(b, hq, hkv, d, s, kv_len):
     (4, 4, 8, 64, 64, 56),      # n_rep=1, tiny odd Tq
     (6, 2, 40, 96, 90, 50),     # nothing tile-aligned
     (2, 1, 256, 256, 1, 0),     # kv_len=1
+    (8, 2, 5, 64, 60, 50),      # GQA (n_rep=4) + odd Tq: bq must pad to 8
 ])
 def test_flash_attention_edge_sweep(hq, hkv, tq, s, kv_len, q_off):
     d = 80                      # head_dim not a lane multiple

@@ -100,6 +100,22 @@ def test_generate_greedy_deterministic(dense_model):
     assert all(0 <= t < dense_model.cfg.vocab_size for t in out)
 
 
+def test_generate_burst_matches_step_loop(dense_model):
+    """generate's default path is the decode_n on-device scan; at greedy it
+    must emit the same tokens as the per-token step loop, and a stop id
+    mid-burst truncates the output at its first occurrence."""
+    eng = LlamaEngine(dense_model, donate_cache=False)
+    out_burst = eng.generate([10, 20, 30], 12, burst=4)
+    eng2 = LlamaEngine(dense_model, donate_cache=False)
+    out_step = eng2.generate([10, 20, 30], 12, burst=1)
+    assert out_burst == out_step
+    stop = out_burst[5]
+    first = out_burst.index(stop)
+    eng3 = LlamaEngine(dense_model, donate_cache=False)
+    out_stop = eng3.generate([10, 20, 30], 12, stop_ids=(stop,), burst=4)
+    assert out_stop == out_burst[:first + 1]
+
+
 def test_init_params_forward():
     cfg = LlamaConfig(vocab_size=128, d_model=32, n_heads=2, n_kv_heads=1,
                       d_ff=64, n_layers=2, max_seq_len=32, tied_lm_head=True)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -91,6 +92,10 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
         # mere presence flips init_cache to the stacked [L,...] layout that
         # bypasses the fused per-layer kernels (the round-3 regression, 62.4%
         # vs 82.9% of roofline) — skip it entirely unless opted in
+        if "layers_tape" in tree:
+            print("packed_ckpt: checkpoint carries a decode tape; skipping "
+                  "it (set ZGML_TPU_TAPE_DECODE=1 to load it)",
+                  file=sys.stderr)
         names = [n for n in names if not n.startswith("layers_tape.")]
         tree.pop("layers_tape", None)
     # files written by an interim round-4 build persisted the derived views;

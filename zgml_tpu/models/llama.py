@@ -514,10 +514,11 @@ class LlamaModel:
         layers = self.params.get("layers")
         if attn_block_enabled() and isinstance(layers, (list, tuple)):
             for layer in layers:
-                if "wo3" not in layer:
-                    attach_head_major_jnp(layer, self.cfg.n_heads,
-                                          self.cfg.n_kv_heads,
-                                          self.cfg.head_dim)
+                # idempotent per view: attaches whichever of wo3/ffn_q4n is
+                # missing, keeps the ones already present
+                attach_head_major_jnp(layer, self.cfg.n_heads,
+                                      self.cfg.n_kv_heads,
+                                      self.cfg.head_dim)
         return self
 
     def enable_stacked_decode(self) -> bool:

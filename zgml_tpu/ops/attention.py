@@ -232,6 +232,12 @@ def flash_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
             bq_eff //= 2
         else:
             tq_pad = (tq + bq_eff - 1) // bq_eff * bq_eff
+    if n_rep > 1 and bq_eff % 8:
+        # the head-folded kernel's (gq,bq,d)->(ghk,n_rep*bq,d) regroup is
+        # layout-preserving only when bq is a sublane multiple; pad the query
+        # window up to 8 rather than risk a Mosaic relayout (ADVICE r4)
+        bq_eff = min(bq, -(-tq // 8) * 8)
+        tq_pad = -(-tq // bq_eff) * bq_eff
     qp = q if tq_pad == tq else jnp.pad(
         q, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
     # tile-legal KV block: halve while it divides S, but never below the

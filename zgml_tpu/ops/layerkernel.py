@@ -487,7 +487,6 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
         for nca in (1, 2, 4, 8):
             if n_qkv % (nca * 128):
                 continue
-            ncw_c = n_qkv // nca
             for hg_c in (hh for hh in (2, 4, 8, 16, 32, 64, 1)
                          if hh <= hq and hq % hh == 0):
                 for bkb_c in (bkB_floor, 2 * bkB_floor, 4 * bkB_floor):

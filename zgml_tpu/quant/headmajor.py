@@ -236,15 +236,20 @@ def attach_head_major_jnp(layer: dict, hq: int, hkv: int, hd: int) -> bool:
         return False
     if wqkv.n_pad < (hq + 2 * hkv) * hd or wqkv.kind != wo.kind:
         return False
-    if wo.kind == "q4_0":
-        if np.asarray(wo.qvals).shape[1] % 2:
+    # each view attaches independently and idempotently: a layer already
+    # carrying wo3 but missing ffn_q4n still gets the FFN view (ADVICE r4)
+    if "wo3" not in layer:
+        if wo.kind == "q4_0":
+            if np.asarray(wo.qvals).shape[1] % 2:
+                return False
+            q3, s3 = _wo3_q4_jnp(wo.qvals, wo.scales, hq=hq, hd=hd)
+        elif wo.kind == "q8_0":
+            q3, s3 = _wo3_q8_jnp(wo.qvals, wo.scales, hq=hq, hd=hd)
+        else:
             return False
-        q3, s3 = _wo3_q4_jnp(wo.qvals, wo.scales, hq=hq, hd=hd)
-    elif wo.kind == "q8_0":
-        q3, s3 = _wo3_q8_jnp(wo.qvals, wo.scales, hq=hq, hd=hd)
-    else:
-        return False
-    layer["wo3"] = HeadPacked(wo.kind, hq, hd, hd, wo.n, q3, s3)
+        layer["wo3"] = HeadPacked(wo.kind, hq, hd, hd, wo.n, q3, s3)
+    if "ffn_q4n" in layer:
+        return True
     gu, wd = layer.get("w_gate_up"), layer.get("w_down")
     if (isinstance(gu, PackedWeight) and isinstance(wd, PackedWeight)
             and gu.kind == "q4_0" and wd.kind == "q4_0"

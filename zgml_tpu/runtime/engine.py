@@ -226,15 +226,27 @@ class LlamaEngine:
         return toks
 
     def generate(self, prompt: np.ndarray | list[int], max_new_tokens: int,
-                 stop_ids: tuple[int, ...] = ()) -> list[int]:
-        """Greedy/sampled autoregressive generation (batch 1 convenience)."""
+                 stop_ids: tuple[int, ...] = (), burst: int = 32) -> list[int]:
+        """Greedy/sampled autoregressive generation (batch 1 convenience).
+
+        Decodes in `burst`-token on-device scans (decode_n — ONE dispatch per
+        burst instead of one per token) and truncates at the first stop id,
+        the same burst discipline the serving loop uses. A stop mid-burst
+        wastes at most burst-1 speculatively generated tokens."""
         last_logits = self.prefill(prompt)
         self.key, sub = jax.random.split(self.key)
         tok = sample(last_logits, self.sampling, sub)
         out = [int(tok[0])]
-        for _ in range(max_new_tokens - 1):
-            if out[-1] in stop_ids:
-                break
-            tok, _ = self.step(tok)
-            out.append(int(tok[0]))
+        while len(out) < max_new_tokens and out[-1] not in stop_ids:
+            n = min(burst, max_new_tokens - len(out))
+            if n == 1 or self.pos + n > self.cfg.max_seq_len:
+                tok, _ = self.step(tok)
+                out.append(int(tok[0]))
+                continue
+            toks = self.decode_n(tok, n)
+            for t in np.asarray(toks)[:, 0]:
+                out.append(int(t))
+                if int(t) in stop_ids:
+                    break
+            tok = toks[-1]
         return out
