@@ -1,5 +1,8 @@
 """Perplexity harness tests: quantized-vs-dense deltas within north-star gates
 (ppl Δ <= 0.05 Q8_0 / <= 0.1 Q4_0, scaled for the tiny synthetic model)."""
+import dataclasses
+import os
+
 import numpy as np
 import pytest
 
@@ -7,6 +10,8 @@ from zgml_tpu.io.gguf import GGMLType
 from zgml_tpu.io.llama_loader import load_llama
 from zgml_tpu.runtime.eval import perplexity, ppl_delta
 from zgml_tpu.utils.synthetic import TINY_TEST, write_synthetic_llama_gguf
+
+CORPUS = os.path.join(os.path.dirname(__file__), "data", "corpus_tokens.npy")
 
 
 @pytest.fixture(scope="module")
@@ -57,6 +62,49 @@ def test_windowing_consistency(models):
     p1 = perplexity(dense, toks, window=63)
     p2 = perplexity(dense, toks, window=63)
     assert abs(p1 - p2) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def corpus_models(tmp_path_factory):
+    """Models whose vocab covers the checked-in natural-language corpus
+    (repo docs through the repo-trained BPE, tools/make_corpus.py)."""
+    cfg = dataclasses.replace(TINY_TEST, vocab_size=4608)
+    d = tmp_path_factory.mktemp("ppl_corpus")
+    p8, p4 = d / "m8.gguf", d / "m4.gguf"
+    write_synthetic_llama_gguf(str(p8), cfg, GGMLType.Q8_0, seed=13)
+    write_synthetic_llama_gguf(str(p4), cfg, GGMLType.Q4_0, seed=13)
+    dense, _ = load_llama(str(p8), mode="dense")
+    q8, _ = load_llama(str(p8), mode="quantized")
+    q4, _ = load_llama(str(p4), mode="quantized")
+    return dense, q8, q4
+
+
+def test_corpus_is_natural_language():
+    """The checked-in token stream must look like language, not noise:
+    zipfian head, subword-scale compression, enough volume for windows."""
+    toks = np.load(CORPUS)
+    assert len(toks) >= 20000
+    vals, counts = np.unique(toks, return_counts=True)
+    assert len(vals) >= 1000
+    # zipf head: the most frequent token covers >1% of the stream (uniform
+    # random over 4k ids would give ~0.025%)
+    assert counts.max() / len(toks) > 0.01
+
+
+def test_corpus_q8_delta_small(corpus_models):
+    """North-star drift gate on NON-RANDOM text (VERDICT r4 item 9): Q8_0
+    weights within 1% relative ppl of their dequantized copies."""
+    dense, q8, _ = corpus_models
+    toks = np.load(CORPUS)[:1024]
+    pa, pb, delta = ppl_delta(dense, q8, toks, window=64)
+    assert delta / pa < 0.01, (pa, pb)
+
+
+def test_corpus_q4_delta_bounded(corpus_models):
+    dense, _, q4 = corpus_models
+    toks = np.load(CORPUS)[:1024]
+    pa, pb, delta = ppl_delta(dense, q4, toks, window=64)
+    assert delta / pa < 0.25, (pa, pb)
 
 
 def test_int8_kv_ppl_drift_bounded(models):

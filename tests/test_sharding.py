@@ -175,7 +175,10 @@ def test_tp_unsharded_packedweight_rejected(model):
 
 
 def test_ring_attention_matches_single_device():
-    """Context-parallel ring attention == dense causal attention."""
+    """Context-parallel ring attention == dense causal attention, on BOTH
+    tiers: the blockwise-flash kernel tier (per-hop LSE merge, bf16 MXU
+    tolerance) and the einsum ref tier (tight f32 tolerance)."""
+    from zgml_tpu.ops.dispatch import force_ref
     from zgml_tpu.parallel.ring import make_ring_attention
     from zgml_tpu.ops import refs
     import jax.numpy as jnp
@@ -185,12 +188,34 @@ def test_ring_attention_matches_single_device():
     q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
-    ring = make_ring_attention(mesh, axis="tp")
-    got = ring(q, k, v)
     mask = refs.causal_mask(t, t)
     want = refs.attention_ref(q, k, v, mask[None, None])
+    got = make_ring_attention(mesh, axis="tp")(q, k, v)   # kernel tier
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    with force_ref():
+        got_ref = make_ring_attention(mesh, axis="tp")(q, k, v)
+    np.testing.assert_allclose(np.asarray(got_ref), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_attention_flash_gqa():
+    """Kernel-tier ring with GQA (n_rep=2): the un-repeated KV rotates; the
+    flash hop maps query heads to their KV head in the BlockSpec."""
+    from zgml_tpu.parallel.ring import make_ring_attention
+    from zgml_tpu.ops import refs
+    import jax.numpy as jnp
+    mesh = make_mesh(tp=8, dp=1)
+    rng = np.random.default_rng(9)
+    b, hq, hkv, t, d = 2, 4, 2, 96, 32    # t_loc = 12 (odd sublane pad)
+    q = jnp.asarray(rng.standard_normal((b, hq, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, hkv, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, hkv, t, d)).astype(np.float32))
+    got = make_ring_attention(mesh, axis="tp")(q, k, v)
+    mask = refs.causal_mask(t, t)
+    want = refs.gqa_attention_ref(q, k, v, mask[None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_ring_attention_noncausal():

@@ -2,9 +2,11 @@
 """Perplexity-delta evaluation CLI: quantized vs dense on identical tokens.
 
 The north-star accuracy gate (BASELINE.json: ppl within 0.05/0.1 of fp for
-Q8_0/Q4_0 on WikiText-2). Zero-egress environment -> tokens come from a file
-(--tokens .npy) or a synthetic stream; the delta between formats is the
-dataset-agnostic metric.
+Q8_0/Q4_0 on WikiText-2). Zero-egress environment -> tokens default to the
+checked-in natural-language corpus (tests/data/corpus_tokens.npy: the repo's
+docs through a repo-trained GPT-2-style BPE, tools/make_corpus.py) — random
+tokens give ppl ~= vocab and hide quantization deltas structurally. --tokens
+overrides; --random forces the old synthetic stream.
 """
 from __future__ import annotations
 
@@ -22,10 +24,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model", help="GGUF path (quantized)")
     ap.add_argument("--tokens", default=None, help=".npy int token file")
+    ap.add_argument("--random", action="store_true",
+                    help="synthetic uniform-random tokens (legacy)")
     ap.add_argument("--n-tokens", type=int, default=2048)
     ap.add_argument("--window", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    corpus = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "data", "corpus_tokens.npy")
+    if args.tokens is None and not args.random and os.path.exists(corpus):
+        args.tokens = corpus
 
     import jax
     from zgml_tpu.io.llama_loader import load_llama
