@@ -20,6 +20,7 @@ the matmul is x @ w) or a zgml_tpu.quant.PackedWeight.
 from __future__ import annotations
 
 import dataclasses
+import enum
 import functools
 from typing import Any
 
@@ -29,6 +30,35 @@ import numpy as np
 
 from zgml_tpu.ops import dispatch as ops
 from zgml_tpu.ops import refs
+
+
+class CacheLayout(enum.Enum):
+    """The four KV-cache layouts (decision table: ARCHITECTURE.md).
+
+    UNROLLED      bf16/f32 per-layer list of [B, Hkv, S, d] (inference
+                  default: donation aliases each leaf, weights feed the
+                  Pallas kernels with no per-step gather)
+    STACKED       bf16 [L, B, Hkv, S, d] array (scan-layout params, the
+                  opt-in megacalls, or ZGML_TPU_KV_STACK fused decode:
+                  all layers' writes batch into 2 DUS/step)
+    UNROLLED_INT8 per-layer list of (q [B,Hkv,d,S] i8, scales [B,Hkv,S])
+    STACKED_INT8  ([L,B,Hkv,d,S] i8, [L,B,Hkv,S]) leaf pair (scan params)
+    """
+    UNROLLED = "unrolled"
+    STACKED = "stacked"
+    UNROLLED_INT8 = "unrolled_int8"
+    STACKED_INT8 = "stacked_int8"
+
+
+def cache_layout_of(cache: dict) -> CacheLayout:
+    """Classify an existing cache dict (the inverse of init_cache)."""
+    ck = cache["k"]
+    if isinstance(ck, list):
+        return (CacheLayout.UNROLLED_INT8 if isinstance(ck[0], tuple)
+                else CacheLayout.UNROLLED)
+    if isinstance(ck, tuple):
+        return CacheLayout.STACKED_INT8
+    return CacheLayout.STACKED
 
 
 @dataclasses.dataclass(frozen=True)
@@ -553,61 +583,76 @@ class LlamaModel:
         return True
 
     # -- cache --------------------------------------------------------------
+    def cache_layout(self, dtype=jnp.bfloat16,
+                     layout: str | None = None) -> "CacheLayout":
+        """THE cache-layout decision — the one place the layout matrix is
+        resolved (decision table: ARCHITECTURE.md "KV-cache layouts").
+
+        Signals, in order: an explicit `layout` override ("unrolled" /
+        "stacked") wins; int8 dtype picks the quantized variant of the
+        params-implied layout; otherwise scan-layout (stacked-dict) params
+        and the opt-in megacalls (layers_stacked/layers_tape, only when
+        their config flag is ON — mere presence in a checkpoint no longer
+        flips the layout) imply STACKED, unrolled list params imply UNROLLED
+        unless ZGML_TPU_KV_STACK opts into the stacked fused-decode layout.
+        """
+        from zgml_tpu import config as _config
+        int8 = dtype == "int8" or dtype is jnp.int8
+        if layout == "unrolled":
+            return CacheLayout.UNROLLED_INT8 if int8 else CacheLayout.UNROLLED
+        if layout == "stacked":
+            if int8:
+                raise ValueError("stacked layout override is bf16-only")
+            return CacheLayout.STACKED
+        if layout is not None:
+            raise ValueError(f"unknown cache layout {layout!r}")
+        unrolled_params = isinstance(self.params.get("layers"), (list, tuple))
+        megacall = (("layers_stacked" in self.params
+                     and _config.stack_decode())
+                    or ("layers_tape" in self.params
+                        and _config.tape_decode()))
+        if int8:
+            # megacalls are bf16-cache-only; int8 follows the params layout
+            return (CacheLayout.UNROLLED_INT8 if unrolled_params
+                    else CacheLayout.STACKED_INT8)
+        if megacall or not unrolled_params or _config.kv_stack():
+            return CacheLayout.STACKED
+        return CacheLayout.UNROLLED
+
     def init_cache(self, batch: int, dtype=jnp.bfloat16,
                    layout: str | None = None) -> dict:
-        """KV cache matching the params layout: per-layer lists when layers are
-        unrolled, stacked [L, ...] arrays when layers are stacked (scan).
+        """KV cache in the layout chosen by `cache_layout` (the single
+        chooser; see ARCHITECTURE.md decision table).
 
         dtype="int8" builds the block-quantized cache (~3.6x smaller;
-        ref: QuantizedKVCache, quant.zig:645-910) — unrolled layout only.
-
-        layout: "unrolled" forces the per-layer list (serving/cp paths),
-        "stacked" forces the [L, ...] array (bf16 only; the fused decode
-        path then batches all layers' writes into 2 DUS/step), None = auto
-        (params layout, with ZGML_TPU_KV_STACK opting the unrolled bf16
-        case into the stacked layout).
+        ref: QuantizedKVCache, quant.zig:645-910). layout overrides:
+        "unrolled" forces the per-layer list (serving/cp paths), "stacked"
+        forces the [L, ...] array (bf16 only; the fused decode path then
+        batches all layers' writes into 2 DUS/step).
         """
         c = self.cfg
-        from zgml_tpu import config as _config
-        if (layout is None and dtype not in ("int8", jnp.int8)
-                and _config.kv_stack()):
-            layout = "stacked"
-        if layout == "stacked" and dtype not in ("int8", jnp.int8):
+        lay = self.cache_layout(dtype, layout)
+        if lay is CacheLayout.STACKED:
             full = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len,
                     c.head_dim)
-            return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
-        if layout == "unrolled" and dtype not in ("int8", jnp.int8):
+            dt = jnp.bfloat16 if dtype in ("int8", jnp.int8) else dtype
+            return {"k": jnp.zeros(full, dt), "v": jnp.zeros(full, dt)}
+        if lay is CacheLayout.UNROLLED:
             shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
             return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],
                     "v": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)]}
-        if dtype == "int8" or dtype is jnp.int8:
-            # (with layers_tape + unrolled layers, int8 keeps the per-layer
-            # list cache: the tape megacall is bf16-cache-only and forward's
-            # tape branch requires a stacked array cache)
-            if (not isinstance(self.params.get("layers"), (list, tuple))
-                    and "layers_stacked" not in self.params):
-                # scan layout: one stacked [L, ...] leaf pair per cache; the
-                # lax.scan over layers slices each layer's (q, scales) tuple
-                qs = (c.n_layers, batch, c.n_kv_heads, c.head_dim,
-                      c.max_seq_len)
-                ss = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len)
-                return {"k": (jnp.zeros(qs, jnp.int8),
-                              jnp.ones(ss, jnp.float32)),
-                        "v": (jnp.zeros(qs, jnp.int8),
-                              jnp.ones(ss, jnp.float32))}
-            from zgml_tpu.quant.kv_cache import init_quant_cache
-            qc = init_quant_cache(c.n_layers, batch, c.n_kv_heads,
-                                  c.max_seq_len, c.head_dim)
-            return {"k": [(kq, ks) for kq, ks in zip(qc["k_q"], qc["k_s"])],
-                    "v": [(vq, vs) for vq, vs in zip(qc["v_q"], qc["v_s"])]}
-        shape = (batch, c.n_kv_heads, c.max_seq_len, c.head_dim)
-        if ("layers_stacked" not in self.params
-                and "layers_tape" not in self.params
-                and isinstance(self.params.get("layers"), (list, tuple))):
-            return {"k": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)],
-                    "v": [jnp.zeros(shape, dtype) for _ in range(c.n_layers)]}
-        full = (c.n_layers,) + shape
-        return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
+        if lay is CacheLayout.STACKED_INT8:
+            # one stacked [L, ...] leaf pair per cache; the lax.scan over
+            # layers slices each layer's (q, scales) tuple
+            qs = (c.n_layers, batch, c.n_kv_heads, c.head_dim, c.max_seq_len)
+            ss = (c.n_layers, batch, c.n_kv_heads, c.max_seq_len)
+            return {"k": (jnp.zeros(qs, jnp.int8), jnp.ones(ss, jnp.float32)),
+                    "v": (jnp.zeros(qs, jnp.int8), jnp.ones(ss, jnp.float32))}
+        from zgml_tpu.quant.kv_cache import init_quant_cache
+        qc = init_quant_cache(c.n_layers, batch, c.n_kv_heads,
+                              c.max_seq_len, c.head_dim)
+        return {"k": [(kq, ks) for kq, ks in zip(qc["k_q"], qc["k_s"])],
+                "v": [(vq, vs) for vq, vs in zip(qc["v_q"], qc["v_s"])]}
 
     # -- forward ------------------------------------------------------------
     def forward(self, params, tokens, cache, pos, tp_axis: str | None = None,
@@ -623,6 +668,22 @@ class LlamaModel:
         """
         cfg = self.cfg
         b, t = tokens.shape
+        # layout compatibility gate (clear error instead of a shape crash
+        # deep inside scan/DUS — the round-4 regression class)
+        lay = cache_layout_of(cache)
+        unrolled_params = isinstance(params.get("layers"), (list, tuple))
+        if (lay in (CacheLayout.UNROLLED, CacheLayout.UNROLLED_INT8)
+                and not unrolled_params):
+            raise ValueError(
+                f"cache layout {lay.value} requires unrolled (per-layer "
+                "list) params, but params use the stacked scan layout; "
+                "rebuild with model.init_cache() (see ARCHITECTURE.md "
+                "'KV-cache layouts')")
+        if lay is CacheLayout.STACKED_INT8 and unrolled_params:
+            raise ValueError(
+                "stacked int8 cache requires scan-layout params; unrolled "
+                "models use the per-layer int8 list — rebuild with "
+                "model.init_cache(batch, 'int8') (see ARCHITECTURE.md)")
         x = jnp.take(params["tok_embd"], tokens, axis=0)   # [B, T, D]
         if getattr(pos, "ndim", 0) == 1:
             # per-row positions (continuous batching; decode only, T == 1)
