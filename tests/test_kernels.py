@@ -259,6 +259,24 @@ def test_decode_attention_edge_sweep(b, hq, hkv, d, s, kv_len):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
+def test_qmatmul_greedy_matches_argmax(kind):
+    """Fused GEMV+argmax == argmax over the plain GEMV's logits: exact token
+    equality (same tiles, same accumulation order), padded vocab masked."""
+    from zgml_tpu.ops.qmatmul import qmatmul_greedy_pallas
+    rng = np.random.default_rng(31)
+    k, n = 256, 448          # n % 128 != 0 -> padded columns must be masked
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    pw = _to_jax(quantize_weight(w, kind))
+    for seed in range(3):
+        x = jnp.asarray(np.random.default_rng(seed).standard_normal((1, k)),
+                        jnp.float32)
+        tok = qmatmul_greedy_pallas(x, pw)
+        assert tok is not None and tok.shape == (1,)
+        logits = qmatmul_pallas(x, pw)
+        assert int(tok[0]) == int(np.argmax(np.asarray(logits)[0]))
+
+
 @pytest.mark.parametrize("hq,hkv,tq,s,kv_len,q_off", [
     (4, 4, 8, 64, 64, 56),      # n_rep=1, tiny odd Tq
     (6, 2, 40, 96, 90, 50),     # nothing tile-aligned

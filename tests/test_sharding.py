@@ -405,7 +405,7 @@ def test_tp_fused_decode_matches_single_device(fused_q4_model):
     params = shard_llama_params_fused(model, mesh)
     model_sh = LlamaModel(cfg, params)
     fwd = make_sharded_forward(model_sh, mesh)
-    cache2 = model.init_cache(1)
+    cache2 = model.init_cache(1, layout="unrolled")   # TP: per-layer list
     _, cache2 = fwd(params, jnp.asarray(prompt), cache2, 0)
     global_profile.reset()
     logits, new_cache = fwd(params, tok, cache2, 6)

@@ -214,8 +214,10 @@ def kv_stack() -> bool:
     read their layer's slab via scalar-prefetch index maps and the step
     batches every layer's K/V write into TWO dynamic_update_slices (the
     2-per-layer unrolled writes measured ~386us/token at 7B,
-    tools/exp_scan.py). =0 restores the per-layer list cache."""
-    return _flag("ZGML_TPU_KV_STACK", "0")
+    tools/exp_scan.py). Default ON since round 5: engine-level A/B at 7B
+    measured 7.70 (stacked) vs 7.80 ms/token (unrolled), both geometries
+    (tools/exp_server 07_scanab). =0 restores the per-layer list cache."""
+    return _flag("ZGML_TPU_KV_STACK", "1")
 
 
 def lk_debug() -> bool:

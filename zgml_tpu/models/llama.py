@@ -308,10 +308,18 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
             cache_k, k[None].astype(cache_k.dtype), (kv_layer, 0, 0, pos, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v[None].astype(cache_v.dtype), (kv_layer, 0, 0, pos, 0))
-        att = ops.flash_attention(
-            q, cache_k.reshape(L * bb, hkv_c, s_c, hd_c),
-            cache_v.reshape(L * bb, hkv_c, s_c, hd_c),
-            kv_len=kv_len, q_offset=pos, kv_row=kv_layer * bb)
+        if decode:
+            # same kernel as the unrolled decode path (numerically identical
+            # tokens across layouts), reading the layer's rows via kv_row
+            att = ops.decode_attention(
+                q, cache_k.reshape(L * bb, hkv_c, s_c, hd_c),
+                cache_v.reshape(L * bb, hkv_c, s_c, hd_c),
+                kv_len, kv_row=kv_layer * bb)
+        else:
+            att = ops.flash_attention(
+                q, cache_k.reshape(L * bb, hkv_c, s_c, hd_c),
+                cache_v.reshape(L * bb, hkv_c, s_c, hd_c),
+                kv_len=kv_len, q_offset=pos, kv_row=kv_layer * bb)
         att = att.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, hq * hd)
         attn_out = _project(att, layer["wo"])
         x = x + attn_out.astype(x.dtype)
@@ -506,6 +514,35 @@ def _layer_step(cfg: LlamaConfig, x, layer, cache_k, cache_v, pos, kv_len,
     return x, cache_k, cache_v
 
 
+def _head_out(cfg, params, x, tp_axis, greedy):
+    """Decode tail: out_norm + lm_head. greedy=True returns next-token ids
+    [B] int32 instead of logits — via the fused GEMV+argmax kernel
+    (ops.qmatmul_greedy) when it applies, else argmax over the logits.
+    The fused path removes the logits materialization + separate argmax
+    from the fully-serialized decode critical path (round-5: the logits ->
+    token dependency costs ~313us/token at 7B; nothing overlaps it)."""
+    x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
+    if tp_axis is not None:
+        x = _tp_copy(x, tp_axis)
+    lm_head = params.get("lm_head")
+    if greedy and tp_axis is None and lm_head is not None:
+        tok = ops.qmatmul_greedy(x[:, -1], lm_head)
+        if tok is not None:
+            return tok
+    if lm_head is None:   # tied embeddings: logits = x @ embd.T
+        logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                            params["tok_embd"].astype(jnp.float32))
+    else:
+        logits = _project(x, lm_head)
+    if tp_axis is not None and lm_head is not None:
+        # lm_head is column(vocab)-sharded: gather shards -> full vocab
+        logits = _tp_gather(logits, tp_axis)
+    logits = logits.astype(jnp.float32)
+    if greedy:
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    return logits
+
+
 class LlamaModel:
     """Functional model wrapper: holds config + params, exposes pure forward fns.
 
@@ -656,7 +693,8 @@ class LlamaModel:
 
     # -- forward ------------------------------------------------------------
     def forward(self, params, tokens, cache, pos, tp_axis: str | None = None,
-                tp_size: int = 1, cache_row=None, write_pos=None):
+                tp_size: int = 1, cache_row=None, write_pos=None,
+                greedy_head: bool = False):
         """tokens [B, T] int32, pos: scalar int32 start position.
 
         Returns (logits [B, T, V] f32, new_cache). kv_len = pos + T.
@@ -665,6 +703,8 @@ class LlamaModel:
         column-sharded + all_gather over vocab shards).
         cache_row: tokens are batch-1 but `cache` is a larger shared slab;
         read/write only batch entry cache_row (serving prefill-into-slot).
+        greedy_head: return (next_token [B] int32, cache) instead of logits
+        — the greedy decode tail fused into the lm_head kernel (_head_out).
         """
         cfg = self.cfg
         b, t = tokens.shape
@@ -778,14 +818,8 @@ class LlamaModel:
                         x, ck, cv = _layer_step(cfg, x, layer, ck, cv, pos,
                                                 kv_len, cos, sin, decode,
                                                 kv_layer=li)
-            x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
-            lm_head = params.get("lm_head")
-            if lm_head is None:
-                logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                                    params["tok_embd"].astype(jnp.float32))
-            else:
-                logits = _project(x, lm_head)
-            return logits.astype(jnp.float32), {"k": ck, "v": cv}
+            out = _head_out(cfg, params, x, None, greedy_head)
+            return out, {"k": ck, "v": cv}
 
         layers = params["layers"]
         if isinstance(layers, (list, tuple)):
@@ -817,16 +851,5 @@ class LlamaModel:
             x, (new_k, new_v) = jax.lax.scan(
                 body, x, (layers, cache["k"], cache["v"]))
 
-        x = ops.rmsnorm(x, params["out_norm"], cfg.rms_norm_eps)
-        if tp_axis is not None:
-            x = _tp_copy(x, tp_axis)
-        lm_head = params.get("lm_head")
-        if lm_head is None:   # tied embeddings: logits = x @ embd.T
-            logits = jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
-                                params["tok_embd"].astype(jnp.float32))
-        else:
-            logits = _project(x, lm_head)
-        if tp_axis is not None and lm_head is not None:
-            # lm_head is column(vocab)-sharded: gather shards -> full vocab
-            logits = _tp_gather(logits, tp_axis)
-        return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+        out = _head_out(cfg, params, x, tp_axis, greedy_head)
+        return out, {"k": new_k, "v": new_v}

@@ -330,9 +330,11 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 @functools.partial(jax.jit, static_argnames=("hkv", "bk", "scale",
                                              "n_rep_pad", "dyn"))
-def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
+def _decode(qg, k, v, lens, *, hkv: int, bk: int, scale: float,
             n_rep_pad: int, dyn: bool = True):
-    """qg: [B*Hkv, n_rep_pad, d], k/v: [B*Hkv, S, d], kv_len: int32 [B].
+    """qg: [B*Hkv, n_rep_pad, d], k/v: [B'*Hkv, S, d], lens: int32 [B+1] —
+    per-batch kv_len plus a trailing KV batch-row offset (0 when the cache
+    batch B' == B; the stacked-cache/serving paths read rows offset+b_).
 
     KV blocks beyond each sequence's kv_len are clamped to the last live block
     in the index map (scalar prefetch), so their DMAs are elided: decode HBM
@@ -340,22 +342,23 @@ def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
     """
     bhkv, nr, d = qg.shape
     _, s, _ = k.shape
+    nb = bhkv // hkv
     # dynamic KV grid dim: only ceil(max(kv_len)/bk) steps run (same compiled
     # program for every context length — no recompilation);
     # ZGML_TPU_DYNGRID=0 restores the static full grid
     if dyn:
         n_kb = jnp.clip(
-            (jnp.max(kv_len) + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
+            (jnp.max(lens[:nb]) + bk - 1) // bk, 1, s // bk).astype(jnp.int32)
     else:
         n_kb = s // bk
 
     def kv_map(b_, kb, lens_ref):
         last_kb = jnp.maximum(lens_ref[b_] - 1, 0) // bk
-        return (b_, jnp.minimum(kb, last_kb), 0)
+        return (lens_ref[nb] + b_, jnp.minimum(kb, last_kb), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bhkv // hkv, n_kb),
+        grid=(nb, n_kb),
         in_specs=[
             pl.BlockSpec((hkv, nr, d), lambda b_, kb, lens_ref: (b_, 0, 0)),
             pl.BlockSpec((hkv, bk, d), kv_map),
@@ -374,7 +377,7 @@ def _decode(qg, k, v, kv_len, *, hkv: int, bk: int, scale: float,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bhkv, nr, d), qg.dtype),
         interpret=_interpret(),
-    )(kv_len, qg, k, v)
+    )(lens, qg, k, v)
 
 
 # -- decode attention over int8 quantized KV ---------------------------------
@@ -555,10 +558,15 @@ def decode_attention_q8_pallas(q: jax.Array, kq, ks, vq, vs, kv_len,
 
 
 def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
-                            kv_len, bk: int = 256) -> jax.Array:
-    """q [B,Hq,1,d], k/v [B,Hkv,S,d], kv_len scalar -> [B,Hq,1,d]."""
+                            kv_len, bk: int = 256,
+                            kv_row=None) -> jax.Array:
+    """q [B,Hq,1,d], k/v [B,Hkv,S,d], kv_len scalar -> [B,Hq,1,d].
+
+    kv_row: when set, k/v are a LARGER batched cache [B',Hkv,S,d] and the
+    B queries read cache batch rows kv_row..kv_row+B-1 — the stacked-cache
+    per-layer decode path (kv_row = layer * B) and serving slots."""
     b, hq, _, d = q.shape
-    _, hkv, s, _ = k.shape
+    bkv, hkv, s, _ = k.shape
     n_rep = hq // hkv
     nr_pad = max(8, n_rep)
     qg = q.reshape(b, hkv, n_rep, d)
@@ -577,9 +585,11 @@ def decode_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         s += pad
     lens = _expand_lens(kv_len, b)
-    out = _decode(qg, k.reshape(b * hkv, s, d), v.reshape(b * hkv, s, d), lens,
-                  hkv=hkv, bk=bk_eff, scale=1.0 / (d ** 0.5), n_rep_pad=nr_pad,
-                  dyn=_dyngrid())
+    row = jnp.asarray(0 if kv_row is None else kv_row, jnp.int32)
+    lens = jnp.concatenate([lens, row.reshape(1)])
+    out = _decode(qg, k.reshape(bkv * hkv, s, d), v.reshape(bkv * hkv, s, d),
+                  lens, hkv=hkv, bk=bk_eff, scale=1.0 / (d ** 0.5),
+                  n_rep_pad=nr_pad, dyn=_dyngrid())
     out = out.reshape(b, hkv, nr_pad, d)[:, :, :n_rep]
     return out.reshape(b, hq, 1, d)
 

@@ -77,6 +77,21 @@ def qmatmul(x: jax.Array, w: Any, out_dtype=jnp.float32) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+def qmatmul_greedy(x: jax.Array, w: Any):
+    """Fused GEMV + in-kernel argmax for the greedy decode tail: returns the
+    int32 [1] token id of argmax_n(x @ dequant(W)), or None when the fused
+    kernel doesn't apply (caller falls back to qmatmul + argmax). Token ids
+    match argmax(qmatmul(x, w)) exactly (same tiles, same accumulation
+    order, first-occurrence ties)."""
+    if isinstance(w, PackedWeight) and use_pallas("qmatmul"):
+        from zgml_tpu.ops.qmatmul import qmatmul_greedy_pallas
+        tok = qmatmul_greedy_pallas(x, w)
+        if tok is not None:
+            _count("qmatmul_greedy", "pallas")
+            return tok
+    return None
+
+
 def fused_ffn(x: jax.Array, gu: Any, wd: Any):
     """down(silu(gate(x)) * up(x)) as one kernel when the layout allows;
     returns None if the caller should use the separate-projection path.
@@ -206,18 +221,24 @@ def decode_attention_q8(q: jax.Array, kq, ks, vq, vs, kv_len) -> jax.Array:
 
 
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     kv_len: jax.Array) -> jax.Array:
+                     kv_len: jax.Array, kv_row=None) -> jax.Array:
     """Single-step attention over a KV cache prefix.
 
     q: [B, Hq, 1, d]; k/v: [B, Hkv, S, d] (S = max_seq); kv_len: [] or [B]
     number of valid cache positions (ref: seq_kv patching,
     src/device_inference.zig:252-256 — kernels never scan invalid cache).
+    kv_row: k/v are a larger [B',Hkv,S,d] cache; queries read batch rows
+    kv_row..kv_row+B-1 (stacked-cache per-layer decode, serving slots).
     """
     if use_pallas("decode_attention"):
         from zgml_tpu.ops.attention import decode_attention_pallas
         _count("decode_attention", "pallas")
-        return decode_attention_pallas(q, k, v, kv_len)
+        return decode_attention_pallas(q, k, v, kv_len, kv_row=kv_row)
     _count("decode_attention", "ref")
+    if kv_row is not None:
+        b = q.shape[0]
+        k = jax.lax.dynamic_slice_in_dim(k, kv_row, b, axis=0)
+        v = jax.lax.dynamic_slice_in_dim(v, kv_row, b, axis=0)
     s = k.shape[2]
     pos = jnp.arange(s)[None, :]
     valid = pos < jnp.reshape(kv_len, (-1, 1))          # [B, S]

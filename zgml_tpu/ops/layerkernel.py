@@ -432,14 +432,15 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
     bkA = _choose(kq, bka_cap, 256) if kq >= 256 else kq
     fp = dn_q.shape[0] if has_ffn else 0
 
-    def vmem_est(bkb, hg, bfE, nca):
-        qkv = (bkA * n_qkv + 2 * max(bkA // QK, 8) * n_qkv * 4) // nca
+    def vmem_est(bkb, hg, bfE, nca, bka=None):
+        bkA_ = bka or bkA
+        qkv = (bkA_ * n_qkv + 2 * max(bkA_ // QK, 8) * n_qkv * 4) // nca
         cache = 2 * hkv * bkb * hd * (1 if kv_i8 else 2) \
             + (2 * hkv * bkb * 4 if kv_i8 else 0)
         wo = hg * wk_rows * dwp + hg * (hd // QK) * dp * 4
         ffn = (dp * bfE + bfE * (dp // 2) + 2 * (dp // QK) * bfE * 4
                + max(bfE // QK, 8) * dp * 4) if has_ffn else 0
-        xviews = 8 * dp * 4 * 2 + dp * 4 * 2 + 4 * 8 * bkA * 4
+        xviews = 8 * dp * 4 * 2 + dp * 4 * 2 + 4 * 8 * bkA_ * 4
         outs = 8 * dp * 4 + 2 * hkv * hd * 4
         scr = (8 * n_qkv + (hq + 2 * hkv) * hd + hq * hd
                + 3 * hkv * (hq // hkv) * 128
@@ -478,35 +479,41 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
         # default: preference-scored candidate search. Grid-step count is the
         # fixed-cost proxy (measured ~0.3-1us/step pipeline overhead); score =
         # expected steps at a short-context decode (the headline regime), with
-        # B steps weighted at kv~256. Interleaved full-step A/B at 7B MHA
-        # (tools/exp_step2.py): ncA=2/bkB=64/hg=2 7.50ms vs the old shrink
-        # loop's ncA=4/bkB=64/hg=1 7.94ms — the budget is calibrated to what
-        # Mosaic ACTUALLY compiled (est 12.3MB fit; est 13.2 not tried).
-        budget = 9 << 20 | (512 << 10)
+        # B steps weighted at kv~256. Round-5 engine-level decode_n A/B at 7B
+        # MHA (tools/exp_server 08_stacktune): bkA=512/ncA=4/bkB=64/hg=4
+        # (est 10MB, Mosaic-compiled) 7.654 ms/token vs the round-4 pick
+        # bkA=256/ncA=2/hg=2 at 7.703 — bigger A tiles + half the C steps;
+        # budget raised 9.5 -> 11 MB to admit it (est 10MB known-compiling;
+        # est-13.2MB class never tried, A1024's est-16 class FAILS Mosaic).
+        budget = 11 << 20
         best = None
-        for nca in (1, 2, 4, 8):
-            if n_qkv % (nca * 128):
-                continue
-            for hg_c in (hh for hh in (2, 4, 8, 16, 32, 64, 1)
-                         if hh <= hq and hq % hh == 0):
-                for bkb_c in (bkB_floor, 2 * bkB_floor, 4 * bkB_floor):
-                    bkb_e = _choose(s_len, bkb_c, 128 if kv_i8 else 8)
-                    for bfe_c in ((512, 256) if has_ffn else (0,)):
-                        bfe_e = _choose(fp, bfe_c, 256) if has_ffn else 0
-                        if vmem_est(bkb_e, hg_c, bfe_e, nca) > budget:
-                            continue
-                        steps = ((kq // bkA) * nca + max(1, 256 // bkb_e)
-                                 + hq // hg_c
-                                 + (fp // bfe_e if has_ffn else 0))
-                        key = (steps, -bkb_e, -(bfe_e or 0))
-                        if best is None or key < best[0]:
-                            best = (key, (nca, hg_c, bkb_e, bfe_e))
+        for bka_c in ((bkA, 2 * bkA) if kq % (2 * bkA or 1) == 0
+                      and not t_bka else (bkA,)):
+            for nca in (1, 2, 4, 8):
+                if n_qkv % (nca * 128):
+                    continue
+                for hg_c in (hh for hh in (2, 4, 8, 16, 32, 64, 1)
+                             if hh <= hq and hq % hh == 0):
+                    for bkb_c in (bkB_floor, 2 * bkB_floor, 4 * bkB_floor):
+                        bkb_e = _choose(s_len, bkb_c, 128 if kv_i8 else 8)
+                        for bfe_c in ((512, 256) if has_ffn else (0,)):
+                            bfe_e = _choose(fp, bfe_c, 256) if has_ffn else 0
+                            if vmem_est(bkb_e, hg_c, bfe_e, nca,
+                                        bka=bka_c) > budget:
+                                continue
+                            steps = ((kq // bka_c) * nca
+                                     + max(1, 256 // bkb_e)
+                                     + hq // hg_c
+                                     + (fp // bfe_e if has_ffn else 0))
+                            key = (steps, -bka_c, -bkb_e, -(bfe_e or 0))
+                            if best is None or key < best[0]:
+                                best = (key, (bka_c, nca, hg_c, bkb_e, bfe_e))
         if best is None:       # degenerate tiny shapes: one step per phase
             ncA, hg, bkB = 1, 1, _choose(s_len, bkB_floor,
                                          128 if kv_i8 else 8)
             bfE = _choose(fp, 256, 256) if has_ffn else 128
         else:
-            ncA, hg, bkB, bfE = best[1]
+            bkA, ncA, hg, bkB, bfE = best[1]
             bfE = bfE if has_ffn else 128
     # in-kernel cache write needs 16-row (bf16-tile) aligned windows that
     # provably sit inside the last B block; otherwise the caller falls back

@@ -336,6 +336,170 @@ def _i8dot_enabled() -> bool:
     return config.i8dot()
 
 
+# -- fused greedy head: GEMV + in-kernel running argmax -----------------------
+#
+# The decode tail (out_norm -> lm_head -> logits [1, V] -> argmax -> next
+# token) is fully serialized against the next step's first layer — nothing
+# can overlap it (round-5 measurement: cutting the logits dependency saved
+# 313us/token at 7B). This kernel removes the logits materialization + the
+# separate XLA argmax pass + one kernel launch from that critical path: the
+# same int8-dot GEMV keeps a running (max, argmax) pair in VMEM across N
+# tiles and emits ONE int32 token id. Accumulation order matches the plain
+# i8 GEMV bit-for-bit (same _block_dot, same tiles), so the token equals
+# argmax(qmatmul(x, w)) exactly, first-occurrence ties included.
+
+def _argmax_epilogue(acc_ref, mx_ref, ix_ref, o_ref, *, nb, kb, n_k, n_n,
+                     bn, n_valid):
+    @pl.when((nb == 0) & (kb == 0))
+    def _():
+        mx_ref[:] = jnp.full_like(mx_ref, -jnp.inf)
+        ix_ref[:] = jnp.zeros_like(ix_ref)
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        t = acc_ref[0:1, :]                                    # row 0 live
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1) + nb * bn
+        t = jnp.where(col < n_valid, t, -jnp.inf)              # mask pad cols
+        m_t = jnp.max(t, axis=1, keepdims=True)                # [1, 1]
+        i_t = jnp.min(jnp.where(t >= m_t, col, jnp.int32(2 ** 30)),
+                      axis=1, keepdims=True)
+        run_m = mx_ref[:1, :1]
+        better = m_t > run_m                                   # strict: ties
+        new_m = jnp.where(better, m_t, run_m)                  # keep earliest
+        new_i = jnp.where(better, i_t, ix_ref[:1, :1])
+        mx_ref[:] = jnp.broadcast_to(new_m, mx_ref.shape)
+        ix_ref[:] = jnp.broadcast_to(new_i, ix_ref.shape)
+
+    @pl.when((nb == n_n - 1) & (kb == n_k - 1))
+    def _():
+        o_ref[:] = ix_ref[:]
+
+
+def _q8_i8_argmax_kernel(xq_ref, xs_ref, q_ref, s_ref, o_ref,
+                         acc_ref, mx_ref, ix_ref, *, n_k, n_n, bn, n_valid):
+    nb, kb = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += _block_dot(xq_ref[:], xs_ref[:], q_ref[:], s_ref[:])
+    _argmax_epilogue(acc_ref, mx_ref, ix_ref, o_ref, nb=nb, kb=kb, n_k=n_k,
+                     n_n=n_n, bn=bn, n_valid=n_valid)
+
+
+def _q4_i8_argmax_kernel(xqlo_ref, xqhi_ref, xslo_ref, xshi_ref,
+                         sumlo_ref, sumhi_ref, q_ref, slo_ref, shi_ref,
+                         o_ref, acc_ref, mx_ref, ix_ref,
+                         *, n_k, n_n, bn, n_valid):
+    nb, kb = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    v32 = pltpu.bitcast(q_ref[:], jnp.int32)
+    mask = jnp.full(v32.shape, 0x0F0F0F0F, jnp.int32)
+    wlo = pltpu.bitcast(v32 & mask, jnp.int8)
+    whi = pltpu.bitcast(
+        jax.lax.shift_right_logical(v32, jnp.full(v32.shape, 4, jnp.int32))
+        & mask, jnp.int8)
+    part = (_block_dot(xqlo_ref[:], xslo_ref[:], wlo, slo_ref[:])
+            + _block_dot(xqhi_ref[:], xshi_ref[:], whi, shi_ref[:]))
+    alo = (xslo_ref[:] * sumlo_ref[:].astype(jnp.float32) * 8.0).T
+    ahi = (xshi_ref[:] * sumhi_ref[:].astype(jnp.float32) * 8.0).T
+    corr = (jnp.dot(alo, slo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(ahi, shi_ref[:], preferred_element_type=jnp.float32))
+    acc_ref[:] += part - corr
+    _argmax_epilogue(acc_ref, mx_ref, ix_ref, o_ref, nb=nb, kb=kb, n_k=n_k,
+                     n_n=n_n, bn=bn, n_valid=n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "bn", "bk", "n_valid"))
+def _qmatmul_i8_argmax(x, qvals, scales, *, kind, bn, bk, n_valid):
+    """x [m_pad, k_pad] f32 (row 0 live) -> int32 [1, 128] (argmax id,
+    replicated across lanes)."""
+    m, k_pad = x.shape
+    kh, n_pad = qvals.shape
+    n_k = kh // bk
+    n_n = n_pad // bn
+    nbk = bk // QK
+    xq, xs = _quantize_act(x)
+    xq_t = xq.reshape(m, k_pad // QK, QK).transpose(1, 0, 2)
+    xs_t = xs.T
+    wq3 = qvals.reshape(kh // QK, QK, n_pad)
+    scratch = [pltpu.VMEM((m, bn), jnp.float32),
+               pltpu.VMEM((1, 128), jnp.float32),
+               pltpu.VMEM((1, 128), jnp.int32)]
+    out_specs = pl.BlockSpec((1, 128), lambda mb, nb, kb: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((1, 128), jnp.int32)
+    if kind == "q8_0":
+        return pl.pallas_call(
+            functools.partial(_q8_i8_argmax_kernel, n_k=n_k, n_n=n_n,
+                              bn=bn, n_valid=n_valid),
+            grid=(1, n_n, n_k),
+            in_specs=[
+                pl.BlockSpec((nbk, m, QK), lambda mb, nb, kb: (kb, mb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbk, QK, bn), lambda mb, nb, kb: (kb, 0, nb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbk, bn), lambda mb, nb, kb: (kb, nb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=scratch, interpret=_interpret(),
+        )(xq_t, xs_t, wq3, scales)
+    xsum_t = jnp.sum(xq_t.astype(jnp.int32), axis=2)
+    return pl.pallas_call(
+        functools.partial(_q4_i8_argmax_kernel, n_k=n_k, n_n=n_n,
+                          bn=bn, n_valid=n_valid),
+        grid=(1, n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((nbk, m, QK), lambda mb, nb, kb: (kb, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m, QK), lambda mb, nb, kb: (kb + n_k, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb + n_k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda mb, nb, kb: (kb + n_k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, QK, bn), lambda mb, nb, kb: (kb, 0, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn), lambda mb, nb, kb: (kb, nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn), lambda mb, nb, kb: (kb + n_k, nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch, interpret=_interpret(),
+    )(xq_t, xq_t, xs_t, xs_t, xsum_t, xsum_t, wq3, scales, scales)
+
+
+def qmatmul_greedy_pallas(x: jax.Array, pw: PackedWeight):
+    """argmax_n(x @ dequant(W)) for a single live row — the fused decode
+    tail. x [..., K] with prod(leading) == 1. Returns int32 [1] (token id),
+    or None when the fused path doesn't apply (caller falls back to
+    qmatmul + argmax)."""
+    lead = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if lead != 1 or pw.kind not in ("q8_0", "q4_0") or not _i8dot_enabled():
+        return None
+    k = x.shape[-1]
+    x2 = x.reshape(1, k).astype(jnp.float32)
+    x2 = jnp.pad(x2, ((0, 7), (0, pw.k_pad - k)))
+    k_eff = pw.k_pad if pw.kind == "q8_0" else pw.k_pad // 2
+    bn, bk = _i8_tiles(pw.kind, 8, k_eff, pw.n_pad)
+    out = _qmatmul_i8_argmax(x2, pw.qvals, pw.scales, kind=pw.kind,
+                             bn=bn, bk=bk, n_valid=pw.n)
+    return out[0, :1]
+
+
 # -- backward (transposed dequant-matmul) kernels -----------------------------
 #
 # dx = dy @ dequant(W)^T, with the weight still streamed packed from HBM and

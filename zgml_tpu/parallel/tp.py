@@ -491,7 +491,20 @@ def make_sharded_forward(model: LlamaModel, mesh: Mesh):
                    in_specs=(pspecs, P("dp", None), cspecs, P()),
                    out_specs=(P("dp", None, None), cspecs),
                    check_rep=False)
-    return jax.jit(sm, donate_argnums=(2,))
+    jitted = jax.jit(sm, donate_argnums=(2,))
+
+    def call(params, tokens, cache, pos):
+        # layout guard: TP over unrolled params needs the per-layer list
+        # cache (ZGML_TPU_KV_STACK defaults the single-chip engine to the
+        # stacked layout since round 5 — multi-chip callers ask explicitly)
+        if unrolled and not isinstance(cache["k"], (list, tuple)):
+            raise ValueError(
+                "TP forward over unrolled params needs the per-layer list "
+                "cache; build it with model.init_cache(batch, "
+                "layout='unrolled') (see ARCHITECTURE.md 'KV-cache layouts')")
+        return jitted(params, tokens, cache, pos)
+
+    return call
 
 
 def make_sharded_train_step(model: LlamaModel, mesh: Mesh, optimizer=None):

@@ -65,11 +65,21 @@ class LlamaEngine:
         @functools.partial(jax.jit, static_argnames=("n_steps",),
                            donate_argnums=(2,))
         def _decode_scan(params, tok0, cache, pos0, key, n_steps):
+            greedy = self.sampling.temperature == 0.0
+
             def body(carry, _):
                 tok, cache, pos, key = carry
-                logits, cache = model.forward(params, tok[:, None], cache, pos)
-                key, sub = jax.random.split(key)
-                nxt = sample(logits[:, -1], self.sampling, sub)
+                if greedy:
+                    # fused decode tail: next token straight out of the
+                    # lm_head kernel (no logits materialization / argmax
+                    # pass on the serialized critical path)
+                    nxt, cache = model.forward(params, tok[:, None], cache,
+                                               pos, greedy_head=True)
+                else:
+                    logits, cache = model.forward(params, tok[:, None],
+                                                  cache, pos)
+                    key, sub = jax.random.split(key)
+                    nxt = sample(logits[:, -1], self.sampling, sub)
                 return (nxt, cache, pos + 1, key), nxt
 
             (tok, cache, pos, key), toks = jax.lax.scan(
