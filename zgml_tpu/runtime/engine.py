@@ -62,10 +62,14 @@ class LlamaEngine:
         # N tokens instead of per token (SURVEY.md §7: decode is
         # dispatch-latency-dominated; zgml needed 7.5k lines of command-stream
         # fusion for this — here it is one scan).
+        import inspect
+        greedy_ok = "greedy_head" in inspect.signature(
+            model.forward).parameters
+
         @functools.partial(jax.jit, static_argnames=("n_steps",),
                            donate_argnums=(2,))
         def _decode_scan(params, tok0, cache, pos0, key, n_steps):
-            greedy = self.sampling.temperature == 0.0
+            greedy = self.sampling.temperature == 0.0 and greedy_ok
 
             def body(carry, _):
                 tok, cache, pos, key = carry
