@@ -44,6 +44,8 @@ def main():
     cfg = qmodel.cfg
     if args.tokens:
         toks = np.load(args.tokens).astype(np.int32)
+        if args.n_tokens and len(toks) > args.n_tokens:
+            toks = toks[:args.n_tokens]
     else:
         toks = np.random.default_rng(args.seed).integers(
             0, cfg.vocab_size, args.n_tokens).astype(np.int32)

@@ -19,16 +19,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_window_jit: dict = {}
+
+
 def window_nll(model, tokens: jax.Array,
                cache_dtype=jnp.bfloat16) -> tuple[float, int]:
-    """Sum NLL (nats) + count over one [T] window, scored with full context."""
+    """Sum NLL (nats) + count over one [T] window, scored with full context.
+
+    The scoring forward is jit-compiled per (model, T, cache dtype) — an
+    eager forward is one tunnel dispatch PER OP per window, which turned a
+    139-window corpus eval into hours (round-5 fix)."""
     toks = jnp.asarray(tokens, jnp.int32)[None, :]
-    cache = model.init_cache(1, cache_dtype)
-    logits, _ = model.forward(model.params, toks, cache, 0)
-    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
-    tgt = toks[0, 1:]
-    nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
-    return float(jnp.sum(nll)), int(tgt.shape[0])
+    key = (id(model), toks.shape[1], str(cache_dtype))
+    fn = _window_jit.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(params, toks):
+            cache = model.init_cache(1, cache_dtype)
+            logits, _ = model.forward(params, toks, cache, 0)
+            logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32),
+                                      axis=-1)
+            tgt = toks[0, 1:]
+            return jnp.sum(-jnp.take_along_axis(logp, tgt[:, None],
+                                                axis=-1)[:, 0])
+        _window_jit[key] = fn
+    return float(fn(model.params, toks)), int(toks.shape[1] - 1)
 
 
 def perplexity(model, tokens: np.ndarray, window: int = 256,
