@@ -105,3 +105,42 @@ def test_no_silent_fallback_placement(model):
     assert tiers.get("decode_attention", {}).get("pallas", 0) >= 1, tiers
     assert "ref" not in tiers.get("attention", {}), tiers
     assert "ref" not in tiers.get("decode_attention", {}), tiers
+
+
+def test_cache_layout_decision_table():
+    """The ONE chooser (ARCHITECTURE.md decision table) resolves every
+    (params layout, dtype, override, flag) combination predictably."""
+    import jax.numpy as jnp
+    from zgml_tpu.models.llama import (CacheLayout, LlamaConfig, LlamaModel,
+                                       cache_layout_of, init_params)
+    cfg = LlamaConfig(vocab_size=64, d_model=32, n_heads=2, n_kv_heads=1,
+                      d_ff=64, n_layers=2, max_seq_len=16, tied_lm_head=True)
+    scan = LlamaModel(cfg, init_params(cfg, seed=0))        # stacked dict
+    unrolled = LlamaModel(cfg, dict(
+        init_params(cfg, seed=0),
+        layers=[{k: v[i] for k, v in init_params(cfg, 0)["layers"].items()}
+                for i in range(2)]))
+
+    # scan params -> stacked, regardless of the kv_stack flag
+    assert scan.cache_layout() is CacheLayout.STACKED
+    assert scan.cache_layout("int8") is CacheLayout.STACKED_INT8
+    # unrolled params: flag decides bf16; int8 always the per-layer list
+    assert unrolled.cache_layout("int8") is CacheLayout.UNROLLED_INT8
+    assert unrolled.cache_layout(layout="unrolled") is CacheLayout.UNROLLED
+    assert unrolled.cache_layout(layout="stacked") is CacheLayout.STACKED
+    # the inspector inverts init_cache for every layout
+    for m, dt, lay in ((scan, jnp.bfloat16, None),
+                       (scan, "int8", None),
+                       (unrolled, jnp.bfloat16, "unrolled"),
+                       (unrolled, "int8", None)):
+        c = m.init_cache(1, dt, layout=lay)
+        assert cache_layout_of(c) is m.cache_layout(dt, lay)
+
+    # incompatible pairs rejected with a clear error at forward entry
+    import pytest
+    toks = jnp.zeros((1, 1), jnp.int32)
+    with pytest.raises(ValueError, match="unrolled"):
+        scan.forward(scan.params, toks,
+                     unrolled.init_cache(1, layout="unrolled"), 0)
+    with pytest.raises(ValueError, match="scan-layout"):
+        unrolled.forward(unrolled.params, toks, scan.init_cache(1, "int8"), 0)
