@@ -220,6 +220,42 @@ def test_ffn_q4n_matches_oracle():
     assert rel < 2e-2, rel
 
 
+def test_ffn_q4n_i8_matches_oracle(monkeypatch):
+    """int8 gate/up phase (the ggml vec-dot tier; default-on at dp>=4096):
+    same oracle, activation-quantization-noise tolerance. Round-5 device
+    trace showed the f32 dequant VPU work as the FFN kernel's binding
+    constraint at 7B (545 -> 674 GB/s with this phase)."""
+    monkeypatch.setenv("ZGML_TPU_FFN_I8A", "1")
+    from zgml_tpu.ops.ffn import fused_ffn_norm_q4n
+    from zgml_tpu.quant.headmajor import ffn_npack
+    rng = np.random.default_rng(11)
+    d, F = 512, 1024
+    gate = quantize_weight(
+        rng.standard_normal((F, d)).astype(np.float32) * 0.05, "q4_0",
+        n_align=1)
+    up = quantize_weight(
+        rng.standard_normal((F, d)).astype(np.float32) * 0.05, "q4_0",
+        n_align=1)
+    wd = quantize_weight(
+        rng.standard_normal((d, F)).astype(np.float32) * 0.05, "q4_0")
+    gu = concat_packed([gate, up], part_pad=wd.k_pad)
+    pack = ffn_npack(gu, wd)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d).astype(np.float32))
+    for m in (1, 3):                      # decode + small serving batch
+        x = jnp.asarray(rng.standard_normal((m, 1, d)), jnp.float32)
+        got = np.asarray(fused_ffn_norm_q4n(x, g, pack, d, 1e-5))
+        got = got.reshape(m, d)
+        xn = np.asarray(x).reshape(m, d)
+        xn_n = xn / np.sqrt((xn * xn).mean(-1, keepdims=True) + 1e-5) \
+            * np.asarray(g)
+        gt = xn_n @ dequant_packed(gate).T
+        ut = xn_n @ dequant_packed(up).T
+        act = ut * (gt / (1 + np.exp(-gt)))
+        want = xn + act @ dequant_packed(wd).T
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 2e-2, (m, rel)
+
+
 def test_engine_whole_layer_kernel_matches_unfused(tmp_path, monkeypatch):
     """Dims chosen so ffn_q4n attaches -> the WHOLE layer runs as one kernel;
     logits must match the unfused path to quantization-noise tolerance."""

@@ -22,6 +22,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_TAPE_DECODE=1         tape_decode()      tape-streamed decode megacall (measured slower)
   ZGML_TPU_TAPE_BF16=0           tape_bf16()        f32 dequant-dots in the tape megacall
   ZGML_TPU_ATTN_I8A=0/1          attn_i8a(dp)       int8 A-phase (default: on iff dp>=4096)
+  ZGML_TPU_FFN_I8A=0/1           ffn_i8a(dp)        int8 FFN gate/up phase (default: on iff dp>=4096)
   ZGML_TPU_ATTN_I8PV=1           attn_i8pv()        int8 P.V dot in q8 decode attention
   ZGML_TPU_I8DOT=0               i8dot()            disable int8-dot qmatmul tier
   ZGML_TPU_PREFILL_BF16=0        prefill_bf16()     full-f32 prefill numerics (A/B)
@@ -135,6 +136,14 @@ def attn_i8a(dp: int) -> bool:
     return _flag("ZGML_TPU_ATTN_I8A", default) and dp % 32 == 0
 
 
+def ffn_i8a(dp: int) -> bool:
+    """int8 gate/up phase in the N-packed Q4 FFN megakernel; default auto:
+    on where the f32 dequant VPU work exceeds the tile DMA window (dp >=
+    4096, the same threshold the attention A phase uses)."""
+    default = "1" if dp >= 4096 else "0"
+    return _flag("ZGML_TPU_FFN_I8A", default) and dp % 32 == 0
+
+
 def attn_i8pv() -> bool:
     """int8 P.V dot in q8 decode attention. Default OFF: the in-kernel
     f32->int8 round legalizes poorly on Mosaic (measured 18-56us vs 3-10us);
@@ -244,6 +253,7 @@ def snapshot(dp_hint: int = 4096) -> dict:
         "tape_decode": tape_decode(),
         "tape_bf16": tape_bf16(),
         "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
+        "ffn_i8a(dp=%d)" % dp_hint: ffn_i8a(dp_hint),
         "attn_i8pv": attn_i8pv(),
         "lk_cachewrite": lk_cachewrite(),
         "kv_stack": kv_stack(),

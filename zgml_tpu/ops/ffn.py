@@ -311,6 +311,127 @@ def _ffn_q4n_kernel(x_ref, g_ref, gu_ref, gs_ref, us_ref, dn_ref, ds_ref,
         o_ref[:] = out.astype(out_dtype)
 
 
+# -- int8-activation gate/up phase (the ggml vec-dot tier, decode) ------------
+#
+# The f32-dequant gate/up loop above costs ~4-5 VPU ops per weight element;
+# at 7B that VPU work marginally exceeds the tile DMA time, so the kernel
+# streams at ~520 GB/s vs the attention kernel's ~600 (device-trace measured,
+# round 5). Same fix as the layer kernel's A phase (layerkernel.py:148-186):
+# activations quantized per-32-block OUTSIDE (rmsnorm folded in), int8
+# segmented dots on the MXU, per-block scale fixup on the int32 partials —
+# SWAR unpack is the only per-element VPU work left. The down projection
+# keeps the f32 path: its unpack fits under its own DMA window.
+
+def _ffn_q4n_i8_kernel(x_ref, xq_ref, xs_ref, xsum_ref, gu3_ref, gs_ref,
+                       us_ref, dn_ref, ds_ref, o_ref, acc_ref,
+                       *, nf: int, ck: int, cd: int, out_dtype,
+                       residual: bool):
+    ff = pl.program_id(1)
+
+    @pl.when(ff == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    m = x_ref.shape[0]
+    dp = x_ref.shape[1]
+    hw = dp // 2
+    bf = gs_ref.shape[1]
+    nsb = ck // QK                       # 32-blocks per K chunk
+    nbk = dp // QK
+    accg = jnp.zeros((m, bf), jnp.float32)
+    accu = jnp.zeros((m, bf), jnp.float32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    for c in range(nbk // nsb):
+        vv = gu3_ref[c * nsb:(c + 1) * nsb]          # [nsb, QK, bf] packed
+        v32 = pltpu.bitcast(vv, jnp.int32)
+        msk = jnp.full(v32.shape, 0x0F0F0F0F, jnp.int32)
+        wg = pltpu.bitcast(v32 & msk, jnp.int8)      # gate = lo nibble
+        wu = pltpu.bitcast(
+            jax.lax.shift_right_logical(
+                v32, jnp.full(v32.shape, 4, jnp.int32)) & msk, jnp.int8)
+        aq = xq_ref[c * nsb:(c + 1) * nsb]           # [nsb, m, QK] int8
+        xsb = xs_ref[c * nsb:(c + 1) * nsb]          # [nsb, m] f32
+        sg = gs_ref[c * nsb:(c + 1) * nsb]           # [nsb, bf]
+        su = us_ref[c * nsb:(c + 1) * nsb]
+        pg = jax.lax.dot_general(aq, wg, dn, preferred_element_type=jnp.int32)
+        pu = jax.lax.dot_general(aq, wu, dn, preferred_element_type=jnp.int32)
+        accg += jnp.sum(pg.astype(jnp.float32)
+                        * (xsb[:, :, None] * sg[:, None, :]), axis=0)
+        accu += jnp.sum(pu.astype(jnp.float32)
+                        * (xsb[:, :, None] * su[:, None, :]), axis=0)
+        # fold out the nibble -8 offset via activation block sums
+        a8 = (xsb * xsum_ref[c * nsb:(c + 1) * nsb].astype(jnp.float32)
+              * 8.0).T                               # [m, nsb]
+        accg -= jnp.dot(a8, sg, preferred_element_type=jnp.float32)
+        accu -= jnp.dot(a8, su, preferred_element_type=jnp.float32)
+
+    act = accu * (accg * jax.nn.sigmoid(accg))       # silu(gate) * up
+
+    for c in range(hw // cd):            # down projection: f32 dequant path
+        dv = dn_ref[:, c * cd:(c + 1) * cd].astype(jnp.int32)
+        sl = jnp.repeat(ds_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        sh = jnp.repeat(ds_ref[:, hw + c * cd: hw + (c + 1) * cd], QK, axis=0)
+        wl = ((dv & 15) - 8).astype(jnp.float32) * sl
+        wh = (((dv >> 4) & 15) - 8).astype(jnp.float32) * sh
+        acc_ref[:, c * cd:(c + 1) * cd] += jnp.dot(
+            act, wl, preferred_element_type=jnp.float32)
+        acc_ref[:, hw + c * cd: hw + (c + 1) * cd] += jnp.dot(
+            act, wh, preferred_element_type=jnp.float32)
+
+    @pl.when(ff == nf - 1)
+    def _():
+        out = acc_ref[:]
+        if residual:
+            out = out + x_ref[:]
+        o_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bf", "ck", "cd", "out_dtype",
+                                    "residual"))
+def _ffn_q4n_i8(x, xq_t, xs_t, xsum_t, gu3, gs, us, dn_q, ds, *, bm: int,
+                bf: int, ck: int, cd: int, out_dtype,
+                residual: bool = False):
+    """x [M, Dp] raw (residual only); xq_t/xs_t/xsum_t pre-quantized
+    NORMALIZED activation blocks ([Dp/32, M, 32] i8 / [Dp/32, M] f32 /
+    [Dp/32, M] i32); gu3 int8 [Dp/32, 32, Fp] (pre-blocked gate|up nibble
+    pairs); dn_q int8 [Fp, Dp/2]; gs/us [Dp/32, Fp]; ds [Fp/32, Dp]."""
+    m, dp = x.shape
+    nbk = dp // QK
+    fp = dn_q.shape[0]
+    nf = fp // bf
+    return pl.pallas_call(
+        functools.partial(_ffn_q4n_i8_kernel, nf=nf, ck=ck, cd=cd,
+                          out_dtype=out_dtype, residual=residual),
+        grid=(m // bm, nf),
+        in_specs=[
+            pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bm, QK), lambda mb, ff: (0, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bm), lambda mb, ff: (0, mb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bm), lambda mb, ff: (0, mb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, QK, bf), lambda mb, ff: (0, 0, ff),
+                         memory_space=pltpu.VMEM),   # gate|up bytes (blocked)
+            pl.BlockSpec((nbk, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),   # gate scales
+            pl.BlockSpec((nbk, bf), lambda mb, ff: (0, ff),
+                         memory_space=pltpu.VMEM),   # up scales
+            pl.BlockSpec((bf, dp // 2), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),   # down bytes
+            pl.BlockSpec((bf // QK, dp), lambda mb, ff: (ff, 0),
+                         memory_space=pltpu.VMEM),   # down scales
+        ],
+        out_specs=pl.BlockSpec((bm, dp), lambda mb, ff: (mb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, dp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, dp), jnp.float32)],
+        interpret=_interpret(),
+    )(x, xq_t, xs_t, xsum_t, gu3, gs, us, dn_q, ds)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("bm", "bf", "ck", "cd", "out_dtype",
                                     "norm_eps", "d_logical", "residual"))
@@ -384,6 +505,25 @@ def fused_ffn_norm_q4n(x: jax.Array, gamma: jax.Array, pack: dict,
         bf = t_bf
     ck = _chunk(dp, 1024)
     cd = _chunk(dp // 2, 1024)
+    if config.ffn_i8a(dp) and m_pad <= 32:
+        # int8 gate/up tier: rmsnorm + per-32-block activation quantization
+        # OUTSIDE the kernel (the layer kernel's A-phase discipline,
+        # layerkernel.py:766-781) — the in-kernel f32 dequant VPU work was
+        # the FFN kernel's binding constraint at 7B (round-5 device trace)
+        from zgml_tpu.ops.qmatmul import _quantize_act
+        ms = jnp.sum(x2 * x2, axis=1, keepdims=True) * (1.0 / d_logical)
+        xn = x2 * jax.lax.rsqrt(ms + eps) * g
+        xq, xs = _quantize_act(xn)
+        nbk = dp // QK
+        xq_t = xq.reshape(m_pad, nbk, QK).transpose(1, 0, 2)
+        xs_t = xs.T.astype(jnp.float32)
+        xsum_t = jnp.sum(xq_t.astype(jnp.int32), axis=2)
+        gu3 = pack["gu_q"].reshape(nbk, QK, fp)      # layout-preserving view
+        out = _ffn_q4n_i8(x2, xq_t, xs_t, xsum_t, gu3, pack["gs"],
+                          pack["us"], pack["dn_q"], pack["ds"], bm=m_pad,
+                          bf=bf, ck=ck, cd=cd,
+                          out_dtype=jnp.dtype(out_dtype), residual=True)
+        return out[:m, :d_logical].reshape(*lead, d_logical)
     out = _ffn_q4n(x2, g, pack["gu_q"], pack["gs"], pack["us"],
                    pack["dn_q"], pack["ds"], bm=bm, bf=bf, ck=ck, cd=cd,
                    out_dtype=jnp.dtype(out_dtype), norm_eps=eps,
