@@ -59,7 +59,14 @@ def test_error_monotonic_q8_better_than_q4():
 
 
 @pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
-def test_repack_dequant_matches_block_dequant(kind):
+@pytest.mark.parametrize("mode", ["f32", "f16", "bf16"])
+def test_repack_dequant_matches_block_dequant(kind, mode, monkeypatch):
+    """f32/f16 scale storage round-trips the GGUF blocks BIT-EXACTLY (the
+    source scales are f16, src/quant.zig:18). bf16 (the speed default,
+    round-5 A/B) rounds each block scale by <= 2^-8 relative (half ULP of
+    the 8-bit mantissa) — bounded here per element, ~15x below the Q4
+    quantization error itself."""
+    monkeypatch.setenv("ZGML_TPU_SCALES", mode)
     rng = np.random.default_rng(3)
     n, k = 96, 160  # deliberately unaligned -> exercises padding
     w = rng.standard_normal((n, k)).astype(np.float32)
@@ -72,7 +79,11 @@ def test_repack_dequant_matches_block_dequant(kind):
         ref = dequantize_q4_0(raw, n * k).reshape(n, k)
         pw = repack_q4_0(raw, n, k)
     got = dequant_packed(pw)
-    np.testing.assert_allclose(got, ref, rtol=0, atol=0)  # bit-exact
+    if mode == "bf16":
+        np.testing.assert_allclose(got, ref, rtol=2 ** -8, atol=0)
+        assert not np.array_equal(got, ref) or np.allclose(ref, 0)
+    else:
+        np.testing.assert_allclose(got, ref, rtol=0, atol=0)  # bit-exact
     # padding must be all-zero contribution
     full = dequant_packed(
         PackedWeight(pw.kind, pw.n_pad, pw.k_pad, pw.n_pad, pw.k_pad,

@@ -23,6 +23,7 @@ Toggle inventory (env var -> accessor -> effect):
   ZGML_TPU_TAPE_BF16=0           tape_bf16()        f32 dequant-dots in the tape megacall
   ZGML_TPU_ATTN_I8A=0/1          attn_i8a(dp)       int8 A-phase (default: on iff dp>=4096)
   ZGML_TPU_FFN_I8A=0/1           ffn_i8a(dp)        int8 FFN gate/up phase (default: on iff dp>=4096)
+  ZGML_TPU_SCALES=bf16|f16|f32   scale_mode()       block-scale storage (bf16 default: half the scale traffic, 1-op upcast)
   ZGML_TPU_ATTN_I8PV=1           attn_i8pv()        int8 P.V dot in q8 decode attention
   ZGML_TPU_I8DOT=0               i8dot()            disable int8-dot qmatmul tier
   ZGML_TPU_PREFILL_BF16=0        prefill_bf16()     full-f32 prefill numerics (A/B)
@@ -144,6 +145,35 @@ def ffn_i8a(dp: int) -> bool:
     return _flag("ZGML_TPU_FFN_I8A", default) and dp % 32 == 0
 
 
+def scale_mode() -> str:
+    """Per-block weight-scale storage: 'bf16' (default), 'f16', or 'f32'.
+
+    f32 scales are 20 bytes per 32 weights at Q4_0 vs ggml's 18
+    (src/quant.zig:18: f16 scale + nibbles) — ~10% of ALL decode weight
+    traffic at 7B. Round-5 A/B on v5e:
+      bf16: native Mosaic upcast (1 op) — attn 87.6->76.6us, ffn 150->143,
+            lm_head 132->114 per call; scale values round by <=2^-8 rel
+            (~15x below the Q4 quantization error; same-context argmax
+            stable, cosine 0.997 at 7B).
+      f16:  bit-EXACT vs the GGUF source (int16 bit patterns + in-kernel
+            integer decode, ops/scalecodec.py) but the ~8-op decode eats
+            the DMA saving on this VPU: net +0.5-7us per kernel. Kept for
+            exactness-sensitive runs.
+      f32:  legacy exact storage (the round-1..4 layout).
+    Accepts legacy ZGML_TPU_SCALE_F16=1 as 'f16'."""
+    legacy = _get("ZGML_TPU_SCALE_F16", "")
+    default = "f16" if legacy == "1" else ("f32" if legacy == "0" else "bf16")
+    mode = _get("ZGML_TPU_SCALES", default)
+    if mode not in ("bf16", "f16", "f32"):
+        raise ValueError(f"ZGML_TPU_SCALES={mode!r}: want bf16|f16|f32")
+    return mode
+
+
+def scale_f16() -> bool:
+    """Back-compat shim: any compact (non-f32) storage mode."""
+    return scale_mode() != "f32"
+
+
 def attn_i8pv() -> bool:
     """int8 P.V dot in q8 decode attention. Default OFF: the in-kernel
     f32->int8 round legalizes poorly on Mosaic (measured 18-56us vs 3-10us);
@@ -254,6 +284,7 @@ def snapshot(dp_hint: int = 4096) -> dict:
         "tape_bf16": tape_bf16(),
         "attn_i8a(dp=%d)" % dp_hint: attn_i8a(dp_hint),
         "ffn_i8a(dp=%d)" % dp_hint: ffn_i8a(dp_hint),
+        "scales": scale_mode(),
         "attn_i8pv": attn_i8pv(),
         "lk_cachewrite": lk_cachewrite(),
         "kv_stack": kv_stack(),

@@ -122,9 +122,15 @@ def load_packed_llama(path: str, max_seq_len: int | None = None,
             kind, n, k, n_pad, k_pad = tree[prefix]["packed"]
             # keep numpy (mmap zero-copy): head-major views derive on host,
             # and the caller's device_put uploads everything once
+            scales = st.tensor(prefix + ".scales")
+            if scales.dtype == np.float32 and _config.scale_f16():
+                # legacy f32-scale checkpoint: compact to f16 bits before
+                # upload (lossless for GGUF-sourced scales; ~10% less HBM
+                # traffic + upload bytes — quant/repack.scales_store)
+                from zgml_tpu.quant.repack import scales_store
+                scales = scales_store(scales)
             return PackedWeight(kind, n, k, n_pad, k_pad,
-                                st.tensor(prefix + ".qvals"),
-                                st.tensor(prefix + ".scales"))
+                                st.tensor(prefix + ".qvals"), scales)
         if (prefix + "#len") in tree:
             return [build(f"{prefix}#{i}")
                     for i in range(tree[prefix + "#len"])]

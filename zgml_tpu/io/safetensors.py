@@ -87,6 +87,8 @@ def save_safetensors(path: str | os.PathLike, tensors: dict[str, np.ndarray],
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr)
         st = _TO_ST.get(arr.dtype)
+        if st is None and arr.dtype.name == "bfloat16":
+            st = "BF16"          # ml_dtypes.bfloat16 (bf16 scale storage)
         if st is None:
             raise NotImplementedError(f"dtype {arr.dtype}")
         raw = arr.tobytes()

@@ -29,6 +29,7 @@ from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.repack import PackedWeight
 
 from zgml_tpu import config
+from zgml_tpu.ops.scalecodec import kscale_f32
 
 
 def _interpret() -> bool:
@@ -58,17 +59,19 @@ def _ffn_kernel(x_ref, g_ref, gq_ref, gs_ref, uq_ref, us_ref, dq_ref, ds_ref,
     accu = jnp.zeros((m, bf), jnp.float32)
     for c in range(dp // ck):           # K-chunked gate/up dots (unrolled)
         xs = xn[:, c * ck:(c + 1) * ck]
-        sg = jnp.repeat(gs_ref[c * ck // QK:(c + 1) * ck // QK, :], QK, axis=0)
+        sg = jnp.repeat(kscale_f32(gs_ref[c * ck // QK:(c + 1) * ck // QK, :]),
+                        QK, axis=0)
         wg = gq_ref[c * ck:(c + 1) * ck, :].astype(jnp.float32) * sg
         accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
-        su = jnp.repeat(us_ref[c * ck // QK:(c + 1) * ck // QK, :], QK, axis=0)
+        su = jnp.repeat(kscale_f32(us_ref[c * ck // QK:(c + 1) * ck // QK, :]),
+                        QK, axis=0)
         wu = uq_ref[c * ck:(c + 1) * ck, :].astype(jnp.float32) * su
         accu += jnp.dot(xs, wu, preferred_element_type=jnp.float32)
 
     act = accu * (accg * jax.nn.sigmoid(accg))      # silu(gate) * up
 
     for c in range(dp // cd):           # D-chunked down projection (unrolled)
-        sd = jnp.repeat(ds_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        sd = jnp.repeat(kscale_f32(ds_ref[:, c * cd:(c + 1) * cd]), QK, axis=0)
         wd = dq_ref[:, c * cd:(c + 1) * cd].astype(jnp.float32) * sd
         acc_ref[:, c * cd:(c + 1) * cd] += jnp.dot(
             act, wd, preferred_element_type=jnp.float32)
@@ -164,10 +167,11 @@ def _ffn_q4_kernel(x_ref, g_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
             xlo = xn[:, c * ck:(c + 1) * ck]
             xhi = xn[:, kh + c * ck: kh + (c + 1) * ck]
             v = w_ref[c * ck:(c + 1) * ck, :].astype(jnp.int32)
-            sl = jnp.repeat(s_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+            sl = jnp.repeat(kscale_f32(s_ref[c * nsb:(c + 1) * nsb, :]),
+                            QK, axis=0)
             sh = jnp.repeat(
-                s_ref[kh // QK + c * nsb: kh // QK + (c + 1) * nsb, :],
-                QK, axis=0)
+                kscale_f32(s_ref[kh // QK + c * nsb: kh // QK + (c + 1) * nsb,
+                                 :]), QK, axis=0)
             wl = ((v & 15) - 8).astype(jnp.float32) * sl
             wh = (((v >> 4) & 15) - 8).astype(jnp.float32) * sh
             acc += (jnp.dot(xlo, wl, preferred_element_type=jnp.float32)
@@ -183,8 +187,10 @@ def _ffn_q4_kernel(x_ref, g_ref, glo_ref, ghi_ref, ulo_ref, uhi_ref,
 
     for c in range(dp // cd):
         v = dq_ref[:, c * cd:(c + 1) * cd].astype(jnp.int32)
-        sl = jnp.repeat(dslo_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
-        sh = jnp.repeat(dshi_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
+        sl = jnp.repeat(kscale_f32(dslo_ref[:, c * cd:(c + 1) * cd]),
+                        QK, axis=0)
+        sh = jnp.repeat(kscale_f32(dshi_ref[:, c * cd:(c + 1) * cd]),
+                        QK, axis=0)
         wl = ((v & 15) - 8).astype(jnp.float32) * sl
         wh = (((v >> 4) & 15) - 8).astype(jnp.float32) * sh
         acc_ref[:, c * cd:(c + 1) * cd] += (
@@ -284,8 +290,10 @@ def _ffn_q4n_kernel(x_ref, g_ref, gu_ref, gs_ref, us_ref, dn_ref, ds_ref,
     for c in range(dp // ck):
         v = gu_ref[c * ck:(c + 1) * ck, :].astype(jnp.int32)
         xs = xn[:, c * ck:(c + 1) * ck]
-        sg = jnp.repeat(gs_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
-        su = jnp.repeat(us_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+        sg = jnp.repeat(kscale_f32(gs_ref[c * nsb:(c + 1) * nsb, :]),
+                        QK, axis=0)
+        su = jnp.repeat(kscale_f32(us_ref[c * nsb:(c + 1) * nsb, :]),
+                        QK, axis=0)
         wg = ((v & 15) - 8).astype(jnp.float32) * sg
         wu = (((v >> 4) & 15) - 8).astype(jnp.float32) * su
         accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
@@ -294,8 +302,10 @@ def _ffn_q4n_kernel(x_ref, g_ref, gu_ref, gs_ref, us_ref, dn_ref, ds_ref,
 
     for c in range(hw // cd):
         dv = dn_ref[:, c * cd:(c + 1) * cd].astype(jnp.int32)
-        sl = jnp.repeat(ds_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
-        sh = jnp.repeat(ds_ref[:, hw + c * cd: hw + (c + 1) * cd], QK, axis=0)
+        sl = jnp.repeat(kscale_f32(ds_ref[:, c * cd:(c + 1) * cd]),
+                        QK, axis=0)
+        sh = jnp.repeat(kscale_f32(ds_ref[:, hw + c * cd: hw + (c + 1) * cd]),
+                        QK, axis=0)
         wl = ((dv & 15) - 8).astype(jnp.float32) * sl
         wh = (((dv >> 4) & 15) - 8).astype(jnp.float32) * sh
         acc_ref[:, c * cd:(c + 1) * cd] += jnp.dot(
@@ -351,8 +361,8 @@ def _ffn_q4n_i8_kernel(x_ref, xq_ref, xs_ref, xsum_ref, gu3_ref, gs_ref,
                 v32, jnp.full(v32.shape, 4, jnp.int32)) & msk, jnp.int8)
         aq = xq_ref[c * nsb:(c + 1) * nsb]           # [nsb, m, QK] int8
         xsb = xs_ref[c * nsb:(c + 1) * nsb]          # [nsb, m] f32
-        sg = gs_ref[c * nsb:(c + 1) * nsb]           # [nsb, bf]
-        su = us_ref[c * nsb:(c + 1) * nsb]
+        sg = kscale_f32(gs_ref[c * nsb:(c + 1) * nsb])   # [nsb, bf]
+        su = kscale_f32(us_ref[c * nsb:(c + 1) * nsb])
         pg = jax.lax.dot_general(aq, wg, dn, preferred_element_type=jnp.int32)
         pu = jax.lax.dot_general(aq, wu, dn, preferred_element_type=jnp.int32)
         accg += jnp.sum(pg.astype(jnp.float32)
@@ -369,8 +379,10 @@ def _ffn_q4n_i8_kernel(x_ref, xq_ref, xs_ref, xsum_ref, gu3_ref, gs_ref,
 
     for c in range(hw // cd):            # down projection: f32 dequant path
         dv = dn_ref[:, c * cd:(c + 1) * cd].astype(jnp.int32)
-        sl = jnp.repeat(ds_ref[:, c * cd:(c + 1) * cd], QK, axis=0)
-        sh = jnp.repeat(ds_ref[:, hw + c * cd: hw + (c + 1) * cd], QK, axis=0)
+        sl = jnp.repeat(kscale_f32(ds_ref[:, c * cd:(c + 1) * cd]),
+                        QK, axis=0)
+        sh = jnp.repeat(kscale_f32(ds_ref[:, hw + c * cd: hw + (c + 1) * cd]),
+                        QK, axis=0)
         wl = ((dv & 15) - 8).astype(jnp.float32) * sl
         wh = (((dv >> 4) & 15) - 8).astype(jnp.float32) * sh
         acc_ref[:, c * cd:(c + 1) * cd] += jnp.dot(

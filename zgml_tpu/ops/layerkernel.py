@@ -59,6 +59,7 @@ from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.headmajor import HeadPacked
 
 from zgml_tpu import config
+from zgml_tpu.ops.scalecodec import kscale_f32
 
 NEG_INF = -1e30
 
@@ -77,11 +78,11 @@ def _dequant(w_ref, s_lo_ref, s_hi_ref, kind):
 
     Returns (w_lo, w_hi) f32; w_hi is None for q8_0."""
     if kind == "q8_0":
-        s = jnp.repeat(s_lo_ref[:], QK, axis=-2)
+        s = jnp.repeat(kscale_f32(s_lo_ref[:]), QK, axis=-2)
         return w_ref[:].astype(jnp.float32) * s, None
     v = w_ref[:].astype(jnp.int32)
-    slo = jnp.repeat(s_lo_ref[:], QK, axis=-2)
-    shi = jnp.repeat(s_hi_ref[:], QK, axis=-2)
+    slo = jnp.repeat(kscale_f32(s_lo_ref[:]), QK, axis=-2)
+    shi = jnp.repeat(kscale_f32(s_hi_ref[:]), QK, axis=-2)
     wlo = ((v & 15) - 8).astype(jnp.float32) * slo
     whi = (((v >> 4) & 15) - 8).astype(jnp.float32) * shi
     return wlo, whi
@@ -163,7 +164,8 @@ def _layer_kernel(
                     phi = jax.lax.dot_general(
                         a2_ref[:], whi, dn,
                         preferred_element_type=jnp.int32)
-                    slo, shi = qslo_ref[:], qshi_ref[:]     # [nbkA, ncw]
+                    slo = kscale_f32(qslo_ref[:])           # [nbkA, ncw]
+                    shi = kscale_f32(qshi_ref[:])
                     part = (jnp.sum(plo.astype(jnp.float32)
                                     * (a3_ref[:][:, :, None]
                                        * slo[:, None, :]), axis=0)
@@ -183,7 +185,8 @@ def _layer_kernel(
                         preferred_element_type=jnp.int32)
                     part = jnp.sum(
                         pq.astype(jnp.float32)
-                        * (a3_ref[:][:, :, None] * qslo_ref[:][:, None, :]),
+                        * (a3_ref[:][:, :, None]
+                           * kscale_f32(qslo_ref[:])[:, None, :]),
                         axis=0)
             else:
                 inv = inv_scr[:, :1]                 # [8, 1]
@@ -317,7 +320,7 @@ def _layer_kernel(
         att_g = att_scr[pl.ds(cg * hg, hg), :, :]    # [hg, 1, hd]
         dwp = wo_ref.shape[2]
         w = wo_ref[:]
-        s = wos_ref[:]                               # [hg, hd/QK, dp]
+        s = kscale_f32(wos_ref[:])                   # [hg, hd/QK, dp]
         if is_q4:
             v = w.astype(jnp.int32)
             slo = jnp.repeat(s[:, :, :dwp], QK, axis=1)
@@ -360,8 +363,10 @@ def _layer_kernel(
             for c in range(dp // ckE):
                 v = gu_ref[c * ckE:(c + 1) * ckE, :].astype(jnp.int32)
                 xs = xn[:, c * ckE:(c + 1) * ckE]
-                sg = jnp.repeat(gs_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
-                su = jnp.repeat(us_ref[c * nsb:(c + 1) * nsb, :], QK, axis=0)
+                sg = jnp.repeat(kscale_f32(gs_ref[c * nsb:(c + 1) * nsb, :]),
+                                QK, axis=0)
+                su = jnp.repeat(kscale_f32(us_ref[c * nsb:(c + 1) * nsb, :]),
+                                QK, axis=0)
                 wg = ((v & 15) - 8).astype(jnp.float32) * sg
                 wu = (((v >> 4) & 15) - 8).astype(jnp.float32) * su
                 accg += jnp.dot(xs, wg, preferred_element_type=jnp.float32)
@@ -369,9 +374,11 @@ def _layer_kernel(
             act = accu * (accg * jax.nn.sigmoid(accg))
             for c in range(hw // cdE):
                 dv = dn_ref[:, c * cdE:(c + 1) * cdE].astype(jnp.int32)
-                sl = jnp.repeat(ds_ref[:, c * cdE:(c + 1) * cdE], QK, axis=0)
+                sl = jnp.repeat(kscale_f32(ds_ref[:, c * cdE:(c + 1) * cdE]),
+                                QK, axis=0)
                 sh = jnp.repeat(
-                    ds_ref[:, hw + c * cdE: hw + (c + 1) * cdE], QK, axis=0)
+                    kscale_f32(ds_ref[:, hw + c * cdE: hw + (c + 1) * cdE]),
+                    QK, axis=0)
                 wl = ((dv & 15) - 8).astype(jnp.float32) * sl
                 wh = (((dv >> 4) & 15) - 8).astype(jnp.float32) * sh
                 accwo_scr[:, c * cdE:(c + 1) * cdE] += jnp.dot(

@@ -30,6 +30,7 @@ from zgml_tpu.quant.blocks import QK
 from zgml_tpu.quant.repack import PackedWeight
 
 from zgml_tpu import config
+from zgml_tpu.ops.scalecodec import kscale_f32
 
 
 def _interpret() -> bool:
@@ -37,8 +38,9 @@ def _interpret() -> bool:
 
 
 def _expand_scales(s, block=QK):
-    """[BK//32, BN] -> [BK, BN] by sublane-axis repeat (cheap relayout on TPU)."""
-    return jnp.repeat(s, block, axis=0)
+    """[BK//32, BN] -> [BK, BN] f32 by sublane-axis repeat (cheap relayout on
+    TPU); decodes f16-bit (int16) scale storage first (ops/scalecodec.py)."""
+    return jnp.repeat(kscale_f32(s), block, axis=0)
 
 
 # -- Q8_0 ---------------------------------------------------------------------
@@ -198,7 +200,7 @@ def _block_dot(xqb, xs_t, wqb, ws):
     p = jax.lax.dot_general(
         xqb, wqb, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)                # [nbk, bm, bn]
-    scale = xs_t[:, :, None] * ws[:, None, :]            # [nbk, bm, bn]
+    scale = xs_t[:, :, None] * kscale_f32(ws)[:, None, :]   # [nbk, bm, bn]
     return jnp.sum(p.astype(jnp.float32) * scale, axis=0)
 
 
@@ -277,8 +279,10 @@ def _q4_i8_kernel(xqlo_ref, xqhi_ref, xslo_ref, xshi_ref,
     # -8 correction: [bm, nbk] @ [nbk, bn] over (8 * xs * xblocksum) vs ws
     alo = (xslo_ref[:] * sumlo_ref[:].astype(jnp.float32) * 8.0).T
     ahi = (xshi_ref[:] * sumhi_ref[:].astype(jnp.float32) * 8.0).T
-    corr = (jnp.dot(alo, slo_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(ahi, shi_ref[:], preferred_element_type=jnp.float32))
+    corr = (jnp.dot(alo, kscale_f32(slo_ref[:]),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(ahi, kscale_f32(shi_ref[:]),
+                      preferred_element_type=jnp.float32))
     acc_ref[:] += part - corr
 
     @pl.when(kb == n_k - 1)
@@ -408,8 +412,10 @@ def _q4_i8_argmax_kernel(xqlo_ref, xqhi_ref, xslo_ref, xshi_ref,
             + _block_dot(xqhi_ref[:], xshi_ref[:], whi, shi_ref[:]))
     alo = (xslo_ref[:] * sumlo_ref[:].astype(jnp.float32) * 8.0).T
     ahi = (xshi_ref[:] * sumhi_ref[:].astype(jnp.float32) * 8.0).T
-    corr = (jnp.dot(alo, slo_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(ahi, shi_ref[:], preferred_element_type=jnp.float32))
+    corr = (jnp.dot(alo, kscale_f32(slo_ref[:]),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(ahi, kscale_f32(shi_ref[:]),
+                      preferred_element_type=jnp.float32))
     acc_ref[:] += part - corr
     _argmax_epilogue(acc_ref, mx_ref, ix_ref, o_ref, nb=nb, kb=kb, n_k=n_k,
                      n_n=n_n, bn=bn, n_valid=n_valid)

@@ -23,9 +23,14 @@ from zgml_tpu.quant.blocks import QK
 
 # -- quantized matmul ---------------------------------------------------------
 
+def _scales_f32(scales: jax.Array) -> jax.Array:
+    from zgml_tpu.ops.scalecodec import xscale_f32
+    return xscale_f32(scales)
+
+
 def dequant_q8_0_jnp(qvals: jax.Array, scales: jax.Array) -> jax.Array:
     """K-major planar layout: int8 [K, N], f32 [K//32, N] -> f32 [K, N]."""
-    s = jnp.repeat(scales, QK, axis=0)
+    s = jnp.repeat(_scales_f32(scales), QK, axis=0)
     return qvals.astype(jnp.float32) * s
 
 
@@ -39,7 +44,7 @@ def dequant_q4_0_jnp(qvals_packed: jax.Array, scales: jax.Array) -> jax.Array:
     lo = (v & 15) - 8
     hi = ((v >> 4) & 15) - 8
     w = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
-    return w * jnp.repeat(scales, QK, axis=0)
+    return w * jnp.repeat(_scales_f32(scales), QK, axis=0)
 
 
 def qmatmul_ref(x: jax.Array, qvals: jax.Array, scales: jax.Array,

@@ -477,20 +477,26 @@ def stack_llama_layers(params: dict, cfg) -> dict | None:
         leaves = [np.asarray(get(layer)) for layer in layers]
         return jnp.asarray(np.stack(leaves))
 
+    def stack_s(get):
+        # this kernel family predates f16-bit scale storage: upcast to f32
+        from zgml_tpu.quant.repack import scales_f32_np
+        leaves = [scales_f32_np(get(layer)) for layer in layers]
+        return jnp.asarray(np.stack(leaves))
+
     pad1 = lambda a: np.pad(np.asarray(a, np.float32).reshape(1, d),  # noqa
                             ((0, 0), (0, dp - d)))
     return {
         "g1s": stack(lambda la: pad1(la["attn_norm"])),
         "g2s": stack(lambda la: pad1(la["ffn_norm"])),
         "qkv_q": stack(lambda la: la["wqkv"].qvals),
-        "qkv_s": stack(lambda la: la["wqkv"].scales),
+        "qkv_s": stack_s(lambda la: la["wqkv"].scales),
         "wo_q": stack(lambda la: la["wo3"].qvals),
-        "wo_s": stack(lambda la: la["wo3"].scales),
+        "wo_s": stack_s(lambda la: la["wo3"].scales),
         "gu_q": stack(lambda la: la["ffn_q4n"]["gu_q"]),
-        "gs": stack(lambda la: la["ffn_q4n"]["gs"]),
-        "us": stack(lambda la: la["ffn_q4n"]["us"]),
+        "gs": stack_s(lambda la: la["ffn_q4n"]["gs"]),
+        "us": stack_s(lambda la: la["ffn_q4n"]["us"]),
         "dn_q": stack(lambda la: la["ffn_q4n"]["dn_q"]),
-        "ds": stack(lambda la: la["ffn_q4n"]["ds"]),
+        "ds": stack_s(lambda la: la["ffn_q4n"]["ds"]),
     }
 
 

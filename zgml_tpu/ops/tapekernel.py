@@ -151,7 +151,8 @@ def build_tape(params: dict, cfg) -> dict | None:
         return np.transpose(a.reshape(R, n_t, LANES), (1, 0, 2))
 
     def sc_tiles(s, n_t):                  # [R/16, n] -> [n_t, R/16, LANES]
-        s = np.ascontiguousarray(np.asarray(s, np.float32))
+        from zgml_tpu.quant.repack import scales_f32_np
+        s = np.ascontiguousarray(scales_f32_np(s))
         return np.transpose(s.reshape(R // 16, n_t, LANES), (1, 0, 2))
 
     t = 0

@@ -67,7 +67,7 @@ def shard_packed(pw: PackedWeight, tp: int, axis: str) -> PackedWeight:
     Handles both [K', N] and layer-stacked [L, K', N] qvals/scales.
     """
     qv = np.asarray(pw.qvals)
-    sc = np.asarray(pw.scales, dtype=np.float32)
+    sc = np.asarray(pw.scales)   # dtype-preserving (int16 f16-bits or f32)
     stacked = qv.ndim == 3
     if not stacked:
         qv, sc = qv[None], sc[None]
@@ -86,7 +86,7 @@ def shard_packed(pw: PackedWeight, tp: int, axis: str) -> PackedWeight:
             q_p = np.full((L, qv.shape[1], n_pad_loc), q_fill,
                           np.uint8).view(np.int8)
             q_p[:, :, :n_loc] = q_t
-            s_p = np.zeros((L, sc.shape[1], n_pad_loc), np.float32)
+            s_p = np.zeros((L, sc.shape[1], n_pad_loc), sc.dtype)
             s_p[:, :, :n_loc] = s_t
             qs.append(q_p)
             ss.append(s_p)
@@ -117,7 +117,7 @@ def shard_packed(pw: PackedWeight, tp: int, axis: str) -> PackedWeight:
             h = k_pad_loc // 2
             qs.append((w_p[:, :h] | (w_p[:, h:] << 4)).astype(np.uint8)
                       .view(np.int8))
-            s_p = np.zeros((L, k_pad_loc // QK, n_pad), np.float32)
+            s_p = np.zeros((L, k_pad_loc // QK, n_pad), sc.dtype)
             s_p[:, :k_loc // QK] = sc[:, t * (k_loc // QK):
                                       (t + 1) * (k_loc // QK)]
             ss.append(s_p)
@@ -127,7 +127,7 @@ def shard_packed(pw: PackedWeight, tp: int, axis: str) -> PackedWeight:
         for t in range(tp):
             q_p = np.zeros((L, k_pad_loc, n_pad), np.int8)
             q_p[:, :k_loc] = qv[:, t * k_loc:(t + 1) * k_loc]
-            s_p = np.zeros((L, k_pad_loc // QK, n_pad), np.float32)
+            s_p = np.zeros((L, k_pad_loc // QK, n_pad), sc.dtype)
             s_p[:, :k_loc // QK] = sc[:, t * (k_loc // QK):
                                       (t + 1) * (k_loc // QK)]
             qs.append(q_p)
@@ -150,7 +150,7 @@ def _pw_take_cols(pw: PackedWeight, ranges, part_pad: int | None = None
     get one tile-friendly tail pad.
     """
     qv = np.asarray(pw.qvals)
-    sc = np.asarray(pw.scales, dtype=np.float32)
+    sc = np.asarray(pw.scales)   # dtype-preserving (int16 f16-bits or f32)
     fill = 0x88 if pw.kind == "q4_0" else 0
     qs, ss, n_loc = [], [], 0
     for start, length in ranges:
@@ -158,7 +158,7 @@ def _pw_take_cols(pw: PackedWeight, ranges, part_pad: int | None = None
         width = part_pad if part_pad is not None else length
         q_p = np.full(qv.shape[:-1] + (width,), fill, np.uint8).view(np.int8)
         q_p[..., :length] = qv[..., start:start + length]
-        s_p = np.zeros(sc.shape[:-1] + (width,), np.float32)
+        s_p = np.zeros(sc.shape[:-1] + (width,), sc.dtype)
         s_p[..., :length] = sc[..., start:start + length]
         qs.append(q_p)
         ss.append(s_p)
@@ -172,7 +172,7 @@ def _pw_take_cols(pw: PackedWeight, ranges, part_pad: int | None = None
                 [qvg, np.full(qvg.shape[:-1] + (pad,), fill,
                               np.uint8).view(np.int8)], axis=-1)
             scg = np.concatenate(
-                [scg, np.zeros(scg.shape[:-1] + (pad,), np.float32)], axis=-1)
+                [scg, np.zeros(scg.shape[:-1] + (pad,), scg.dtype)], axis=-1)
     else:
         # part-padded layouts (concat_packed(part_pad=...)) declare n == the
         # full padded width; callers split activations at part boundaries

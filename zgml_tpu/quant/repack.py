@@ -55,7 +55,10 @@ class PackedWeight:
     n_pad: int         # padded N (lane axis of qvals/scales)
     k_pad: int         # padded K
     qvals: Any         # int8 [k_pad, n_pad] (q8) or [k_pad//2, n_pad] (q4)
-    scales: Any        # f32 [k_pad//32, n_pad]
+    scales: Any        # [k_pad//32, n_pad]: int16 (f16 bit patterns, the
+    #                    compact default — ggml stores block scales as f16,
+    #                    src/quant.zig:18, so this is lossless vs the source
+    #                    and ~10% less HBM traffic at Q4) or f32 (legacy)
 
     @property
     def nbytes(self) -> int:
@@ -83,6 +86,30 @@ def _pw_unflatten(aux, children):
 import jax.tree_util as _jtu  # noqa: E402
 
 _jtu.register_pytree_node(PackedWeight, _pw_flatten, _pw_unflatten)
+
+
+def scales_store(s: np.ndarray) -> np.ndarray:
+    """f32 block scales -> the configured storage dtype (config.scale_mode):
+    bf16 (default — half the scale HBM traffic, native Mosaic upcast), f16
+    bit patterns in int16 (bit-exact vs the GGUF source; Mosaic rejects f16
+    operands so the bits ride int16 and kernels decode, ops/scalecodec.py),
+    or f32 (legacy exact)."""
+    from zgml_tpu import config
+    mode = config.scale_mode()
+    if mode == "bf16":
+        import ml_dtypes
+        return np.ascontiguousarray(s.astype(ml_dtypes.bfloat16))
+    if mode == "f16":
+        return np.ascontiguousarray(s.astype(np.float16).view(np.int16))
+    return np.ascontiguousarray(s.astype(np.float32))
+
+
+def scales_f32_np(s) -> np.ndarray:
+    """Host-side decode: any storage dtype -> f32."""
+    s = np.asarray(s)
+    if s.dtype == np.int16:
+        return s.view(np.float16).astype(np.float32)
+    return s.astype(np.float32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -137,13 +164,16 @@ def repack_q8_0(raw: bytes | np.ndarray, n: int, k: int,
         scales = np.zeros((k_pad // QK, n_pad), np.float32)
         lib.q8_repack(np.ascontiguousarray(buf[: n_blocks * Q8_0_BLOCK_BYTES]),
                       n, k, n_pad, k_pad, qvals, scales)
-        return PackedWeight("q8_0", n, k, n_pad, k_pad, qvals, scales)
+        return PackedWeight("q8_0", n, k, n_pad, k_pad, qvals,
+                            scales_store(scales))
     blk = buf[: n_blocks * Q8_0_BLOCK_BYTES].reshape(n_blocks, Q8_0_BLOCK_BYTES)
     scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
     qvals = blk[:, 2:].copy().view(np.int8).reshape(n, k)
-    return PackedWeight("q8_0", n, k, n_pad, k_pad,
-                        _pad_nk(np.ascontiguousarray(qvals.T), k_pad, n_pad),
-                        _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
+    return PackedWeight(
+        "q8_0", n, k, n_pad, k_pad,
+        _pad_nk(np.ascontiguousarray(qvals.T), k_pad, n_pad),
+        scales_store(_pad_nk(np.ascontiguousarray(scales.T),
+                             k_pad // QK, n_pad)))
 
 
 def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
@@ -170,7 +200,8 @@ def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
         scales = np.zeros((k_pad // QK, n_pad), np.float32)
         lib.q4_repack(np.ascontiguousarray(buf[: n_blocks * Q4_0_BLOCK_BYTES]),
                       n, k, n_pad, k_pad, packed, scales)
-        return PackedWeight("q4_0", n, k, n_pad, k_pad, packed, scales)
+        return PackedWeight("q4_0", n, k, n_pad, k_pad, packed,
+                            scales_store(scales))
     blk = buf[: n_blocks * Q4_0_BLOCK_BYTES].reshape(n_blocks, Q4_0_BLOCK_BYTES)
     scales = blk[:, :2].copy().view(np.float16).astype(np.float32).reshape(n, k // QK)
     nib = blk[:, 2:]  # ggml order: byte j of a block = elements (j, j+16)
@@ -182,8 +213,10 @@ def repack_q4_0(raw: bytes | np.ndarray, n: int, k: int,
     wp = _pad_nk(np.ascontiguousarray(w.T), k_pad, n_pad, fill=8)  # nibble 8 == 0
     half = k_pad // 2
     packed = (wp[:half] | (wp[half:] << 4)).astype(np.uint8).view(np.int8)
-    return PackedWeight("q4_0", n, k, n_pad, k_pad, packed,
-                        _pad_nk(np.ascontiguousarray(scales.T), k_pad // QK, n_pad))
+    return PackedWeight(
+        "q4_0", n, k, n_pad, k_pad, packed,
+        scales_store(_pad_nk(np.ascontiguousarray(scales.T),
+                             k_pad // QK, n_pad)))
 
 
 def concat_packed(pws: list[PackedWeight],
@@ -253,7 +286,7 @@ def quantize_weight(w: np.ndarray, kind: str, **kw) -> PackedWeight:
 def dequant_packed(pw: PackedWeight) -> np.ndarray:
     """Host-side oracle: PackedWeight -> f32 [n, k] (logical, unpadded, N-major
     to match the GGUF orientation)."""
-    scales = np.asarray(pw.scales, dtype=np.float32)
+    scales = scales_f32_np(pw.scales)
     if pw.kind == "q8_0":
         q = np.asarray(pw.qvals, dtype=np.float32)
         w = q * np.repeat(scales, QK, axis=0)
