@@ -22,6 +22,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -508,8 +509,11 @@ def fused_ffn_norm_q4n(x: jax.Array, gamma: jax.Array, pack: dict,
     for cand in range(min(bf_cap, fp) // 128 * 128, 127, -128):
         if fp % cand:
             continue
+        ssz = getattr(pack["gs"], "dtype", np.float32).itemsize \
+            if hasattr(pack["gs"], "dtype") else 4
         cost = 2 * (dp * cand + cand * (dp // 2)
-                    + 2 * (dp // QK) * cand * 4 + (cand // QK) * dp * 4)
+                    + 2 * (dp // QK) * cand * ssz
+                    + (cand // QK) * dp * ssz)
         if cost <= budget and (cand // QK) % 8 == 0:
             bf = cand
             break

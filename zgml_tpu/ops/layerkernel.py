@@ -439,14 +439,18 @@ def _layer_call(x, g1, xq_t, xs_t, xsum_t, qkv_q, qkv_s, cos2, sin2,
     bkA = _choose(kq, bka_cap, 256) if kq >= 256 else kq
     fp = dn_q.shape[0] if has_ffn else 0
 
+    # weight-scale element size: bf16 scale storage (the round-5 default)
+    # halves the scale blocks' VMEM share, admitting larger tiles
+    ssz = qkv_s.dtype.itemsize
+
     def vmem_est(bkb, hg, bfE, nca, bka=None):
         bkA_ = bka or bkA
-        qkv = (bkA_ * n_qkv + 2 * max(bkA_ // QK, 8) * n_qkv * 4) // nca
+        qkv = (bkA_ * n_qkv + 2 * max(bkA_ // QK, 8) * n_qkv * ssz) // nca
         cache = 2 * hkv * bkb * hd * (1 if kv_i8 else 2) \
             + (2 * hkv * bkb * 4 if kv_i8 else 0)
-        wo = hg * wk_rows * dwp + hg * (hd // QK) * dp * 4
-        ffn = (dp * bfE + bfE * (dp // 2) + 2 * (dp // QK) * bfE * 4
-               + max(bfE // QK, 8) * dp * 4) if has_ffn else 0
+        wo = hg * wk_rows * dwp + hg * (hd // QK) * dp * ssz
+        ffn = (dp * bfE + bfE * (dp // 2) + 2 * (dp // QK) * bfE * ssz
+               + max(bfE // QK, 8) * dp * ssz) if has_ffn else 0
         xviews = 8 * dp * 4 * 2 + dp * 4 * 2 + 4 * 8 * bkA_ * 4
         outs = 8 * dp * 4 + 2 * hkv * hd * 4
         scr = (8 * n_qkv + (hq + 2 * hkv) * hd + hq * hd
